@@ -4,41 +4,51 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in etl_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship CDC replay at smoke scale (SURVEY.md §3.1).
+
+    Synthesises the mandated corpus shape (repo, path, commit, lang,
+    content — BASELINE.json:15) deterministically, generates an
+    epoch-partitioned WAL with schema-evolution epochs, replays it
+    through the hash-partitioned LWW merge + two-phase manifest sink,
+    and returns the converged lake table as a Dataset.
+    """
+    from etl_ray.pipelines.cdc import replay
+    from etl_ray.sources.corpus import generate_corpus
+    from etl_ray.sources.wal import generate_wal
+    from etl_ray.state.lake import read_lake
+
+    base = "/tmp/etl_ray_entry"
+    shutil.rmtree(base, ignore_errors=True)
+    n_keys, n_repos, n_epochs = 300, 20, 4
+    corpus = generate_corpus(n_keys, n_repos=n_repos)
+    generate_wal(corpus, f"{base}/wal", n_epochs=n_epochs, n_repos=n_repos)
+    replay(f"{base}/wal", f"{base}/lake", n_epochs, num_partitions=8)
+    return read_lake(f"{base}/lake")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from etl_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible ``queries()`` entry."""
+    from etl_ray.pipelines.queries import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,187 @@
+"""Scalar-function layer: thin wrappers over pyarrow.compute with DuckDB
+semantics (SURVEY.md §2.8), used inside ``map_batches`` bodies.
+
+Each helper takes/returns Arrow arrays so callers stay zero-copy and
+vectorized. Where pyarrow and DuckDB disagree on conventions (1-based
+substr, like-pattern syntax), the wrapper adapts to DuckDB so the
+driver's oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------- strings
+
+
+def lower(a):
+    return pc.utf8_lower(a)
+
+
+def upper(a):
+    return pc.utf8_upper(a)
+
+
+def trim(a):
+    return pc.utf8_trim_whitespace(a)
+
+
+def length(a):
+    """Character length (DuckDB length())."""
+    return pc.utf8_length(a)
+
+
+def substr(a, start: int, n: int | None = None):
+    """DuckDB substr(s, start, n) — 1-based start."""
+    start0 = start - 1
+    stop = None if n is None else start0 + n
+    return pc.utf8_slice_codeunits(a, start0, stop)
+
+
+def concat(*arrays, sep: str = ""):
+    return pc.binary_join_element_wise(*arrays, sep)
+
+
+def like(a, pattern: str):
+    """SQL LIKE (%, _ wildcards)."""
+    return pc.match_like(a, pattern)
+
+
+def contains(a, sub: str):
+    return pc.match_substring(a, sub)
+
+
+def regexp_matches(a, pattern: str):
+    return pc.match_substring_regex(a, pattern)
+
+
+def replace(a, old: str, new: str):
+    return pc.replace_substring(a, old, new)
+
+
+def split_ws(a):
+    """Whitespace split → list<string> (DuckDB regexp_split_to_array(s,'\\s+'))."""
+    return pc.utf8_split_whitespace(a)
+
+
+def starts_with(a, prefix: str):
+    return pc.starts_with(a, prefix)
+
+
+# ------------------------------------------------------------------ dates
+
+
+def year(a):
+    return pc.cast(pc.year(a), pa.int64())
+
+
+def month(a):
+    return pc.cast(pc.month(a), pa.int64())
+
+
+def day(a):
+    return pc.cast(pc.day(a), pa.int64())
+
+
+def date_trunc(a, unit: str):
+    """DuckDB date_trunc('hour'|'day'|'month'|'year', ts)."""
+    return pc.floor_temporal(a, unit=unit)
+
+
+def epoch_seconds(a):
+    """Seconds since Unix epoch as int64 (DuckDB epoch(ts))."""
+    return pc.divide(pc.cast(a, pa.int64()), 1_000_000)
+
+
+# ------------------------------------------------------------------- math
+
+
+def round_(a, ndigits: int = 0):
+    # DuckDB rounds half away from zero; pyarrow's default is HALF_TO_EVEN.
+    return pc.round(a, ndigits=ndigits, round_mode="half_away_from_zero")
+
+
+def abs_(a):
+    return pc.abs(a)
+
+
+def floor(a):
+    return pc.floor(a)
+
+
+def ceil(a):
+    return pc.ceil(a)
+
+
+def ln(a):
+    return pc.ln(a)
+
+
+def exp(a):
+    return pc.exp(a)
+
+
+def sqrt(a):
+    return pc.sqrt(a)
+
+
+def power(a, p):
+    return pc.power(a, p)
+
+
+def if_else(cond, t, f):
+    return pc.if_else(cond, t, f)
+
+
+def coalesce(*arrays):
+    return pc.coalesce(*arrays)
+
+
+# ------------------------------------------------------------------ lists
+
+
+def list_len(a):
+    return pc.cast(pc.list_value_length(a), pa.int64())
+
+
+def list_get(a, i: int):
+    """0-based element access (DuckDB list_extract is 1-based — adapt at call site)."""
+    return pc.list_element(a, i)
+
+
+def list_flatten(a):
+    return pc.list_flatten(a)
+
+
+# ------------------------------------------------------------------- json
+
+_JSON_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
+
+
+def json_extract_int64(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
+    """Extract an integer field from a JSON-string column → int64.
+
+    The hot path uses a compiled regex over the raw strings (vectorizable
+    fallback: per-row json.loads only when the regex misses), matching
+    DuckDB ``CAST(json_extract_string(col, '$.key') AS BIGINT)``.
+    """
+    pat = re.compile(r'"%s"\s*:\s*(-?\d+(?:\.\d+)?)' % re.escape(key))
+    out: list[int | None] = []
+    for s in col.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        m = pat.search(s)
+        if m is not None:
+            out.append(int(float(m.group(1))))
+        else:
+            try:
+                v = json.loads(s).get(key)
+                out.append(None if v is None else int(v))
+            except (ValueError, AttributeError):
+                out.append(None)
+    return pa.array(out, type=pa.int64())

@@ -1,0 +1,28 @@
+"""Operator-conformance query registry (SURVEY.md §3.2).
+
+Every implemented operator from SURVEY.md §2 registers a named pipeline
+here; the driver runs ``QUERIES[name](sf_dir)`` and compares against
+``ORACLE[name]`` (DuckDB SQL over the same parquet tables) by row-count,
+schema and order-insensitive value hash. Computed columns are aliased
+identically on both sides.
+
+Entries without oracle SQL (non-SQL-expressible: CDC replay, minhash
+dedup, ...) get a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[[str], Any]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+    return deco

@@ -1,0 +1,122 @@
+"""CDC engine tests: replay determinism, resume, idempotency, fencing,
+schema evolution, compaction (SURVEY.md §5.3–5.5)."""
+
+import hashlib
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from etl_ray.pipelines.cdc import replay
+from etl_ray.sources.corpus import generate_corpus
+from etl_ray.sources.wal import generate_wal, reference_replay
+from etl_ray.state import manifest as mf
+from etl_ray.state.lake import compact, read_lake
+
+N_KEYS, N_REPOS, N_EPOCHS, P = 200, 12, 4, 8
+
+
+@pytest.fixture(scope="module")
+def wal_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cdc")
+    wal = str(d / "wal")
+    corpus = generate_corpus(N_KEYS, n_repos=N_REPOS)
+    generate_wal(corpus, wal, n_epochs=N_EPOCHS, n_repos=N_REPOS)
+    return wal
+
+
+@pytest.fixture(scope="module")
+def ref_state(wal_dir):
+    return reference_replay(wal_dir, N_EPOCHS)
+
+
+def ref_shas(ref_state):
+    return sorted(hashlib.sha256(v["content"].encode()).hexdigest()
+                  for v in ref_state.values())
+
+
+def lake_shas(lake_dir):
+    tbl = read_lake(lake_dir).to_pandas()
+    return sorted(tbl["content_sha256"].tolist())
+
+
+def test_full_replay_matches_reference(wal_dir, ref_state, tmp_path):
+    lake = str(tmp_path / "lake")
+    s = replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    assert s["epochs_applied"] == N_EPOCHS
+    assert lake_shas(lake) == ref_shas(ref_state)
+    # full-row equality incl. schema-evolution columns
+    tbl = read_lake(lake).to_pandas()
+    got = sorted(zip(tbl.repo, tbl.path, tbl.commit))
+    want = sorted((v["repo"], v["path"], v["commit"]) for v in ref_state.values())
+    assert got == want
+
+
+def test_resume_from_checkpoint_reconverges(wal_dir, ref_state, tmp_path):
+    lake = str(tmp_path / "lake")
+    s1 = replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2)
+    assert s1["epochs_applied"] == 2
+    assert mf.last_committed(lake) == 1
+    # "crash" happened here; a fresh replay resumes from the manifest log
+    s2 = replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    assert s2["first_epoch"] == 2
+    assert lake_shas(lake) == ref_shas(ref_state)
+
+
+def test_double_apply_is_idempotent(wal_dir, ref_state, tmp_path):
+    from etl_ray.pipelines.cdc import apply_epoch
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    before = lake_shas(lake)
+    # re-apply the last epoch: commit is a no-op, hwm filter drops all events
+    apply_epoch(wal_dir, lake, N_EPOCHS - 1, P)
+    assert mf.last_committed(lake) == N_EPOCHS - 1
+    assert lake_shas(lake) == before
+
+
+def test_epoch_fencing(wal_dir, tmp_path):
+    from etl_ray.state.manifest import EpochFencingError, commit_epoch
+    import pyarrow as pa
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, 2, num_partitions=P, stop_after=2)
+    with pytest.raises(EpochFencingError):
+        commit_epoch(lake, 5, pa.schema([("x", pa.int64())]), {}, P)
+    # stale (already committed) epoch commit is a silent no-op
+    assert commit_epoch(lake, 0, pa.schema([("x", pa.int64())]), {}, P) is False
+
+
+def test_schema_evolution(wal_dir, tmp_path):
+    """Epochs >= E/2 add stars:int64 and widen size int32→int64."""
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    schema = mf.current_schema(lake)
+    assert schema.field("stars").type == "int64"
+    assert schema.field("size").type == "int64"
+    # pre-evolution epoch files really were written narrow
+    e0 = pq.read_schema(f"{wal_dir}/epoch=0/" +
+                        __import__("os").listdir(f"{wal_dir}/epoch=0")[0])
+    assert "stars" not in e0.names
+    assert e0.field("size").type == "int32"
+
+
+def test_compaction_preserves_state(wal_dir, ref_state, tmp_path):
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    before = lake_shas(lake)
+    n = compact(lake)
+    assert n == len(ref_state)
+    assert lake_shas(lake) == before
+    # compaction reduced the visible file count to ≤ P
+    assert len(mf.committed_files(lake)) <= P
+
+
+def test_lineage_counts(wal_dir, tmp_path):
+    from etl_ray.state.lineage import lineage_table
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    lin = lineage_table(lake).to_pandas()
+    wal_total = sum(pq.read_metadata(f"{wal_dir}/epoch={k}/" + f).num_rows
+                    for k in range(N_EPOCHS)
+                    for f in __import__("os").listdir(f"{wal_dir}/epoch={k}"))
+    assert lin["n_events"].sum() == wal_total
+    assert (lin["lsn_max"] >= lin["lsn_min"]).all()
