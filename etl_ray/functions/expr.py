@@ -102,7 +102,7 @@ def epoch_seconds(a):
 
 def round_(a, ndigits: int = 0):
     # DuckDB rounds half away from zero; pyarrow's default is HALF_TO_EVEN.
-    return pc.round(a, ndigits=ndigits, round_mode="half_away_from_zero")
+    return pc.round(a, ndigits=ndigits, round_mode="half_towards_infinity")
 
 
 def abs_(a):

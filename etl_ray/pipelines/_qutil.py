@@ -1,0 +1,80 @@
+"""Shared helpers for the operator-conformance query layer.
+
+Every query reads the driver tables with explicit column pruning
+(`read_parquet(columns=...)`) so only the needed columns leave storage
+— at 100 TB a full-width read for a 2-column transform is the first
+thing that breaks (SURVEY.md §"prune at the read").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+
+def _tune_data_context() -> None:
+    """Engine-level Ray Data tuning, applied once per process.
+
+    ``Dataset.join`` spawns one HashShuffleAggregator actor per
+    partition, each reserving a full CPU by default; on a small session
+    (4-CPU pytest fixture, 8-CPU scaling run) those reservations starve
+    concurrent actor-pool stages and execution stalls for
+    ``min_hash_shuffle_aggregator_wait_time_in_s`` (300 s default).
+    Fractional reservations + a short wait keep joins schedulable
+    alongside map actors at any session size.
+    """
+    try:
+        ctx = ray.data.DataContext.get_current()
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.5
+        ctx.min_hash_shuffle_aggregator_wait_time_in_s = 30
+    except Exception:  # noqa: BLE001 — never block import on tuning
+        pass
+
+
+_tune_data_context()
+
+# Hash-join partition cap for the conformance queries. At sf0.01 this
+# is plenty; a cluster run sizes it to ~2×cores with 64–128 MiB blocks.
+JOIN_PARTITIONS = 16
+
+
+def join_partitions(cap: int = JOIN_PARTITIONS) -> int:
+    """Join fan-out sized to the session's CPUs.
+
+    Each hash-shuffle join spins up `num_partitions` aggregator actors;
+    more partitions than cores just multiplies actor-startup latency
+    (and can starve a small test session outright).
+    """
+    try:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — uninitialised session
+        n = 8
+    return max(2, min(cap, n))
+
+
+def read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def one_row_table(row: dict, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a global-aggregate result dict as a 1-row Arrow table."""
+    return pa.Table.from_pylist([row], schema=schema)
+
+
+def fixed_point(t: pa.Table, col: str, scale: int) -> pa.Table:
+    """Replace a double column with round(x*scale) as int64.
+
+    Aggregated doubles differ from the DuckDB oracle in the last ulp
+    (summation order), so emitting them raw or decimal-rounded is
+    hash-fragile. Fixed-point integers are bit-stable: the matching SQL
+    is ``CAST(ROUND(x * scale) AS BIGINT)``.
+    """
+    import pyarrow.compute as pc
+
+    v = pc.round(pc.multiply(t[col], float(scale)), ndigits=0,
+                 round_mode="half_towards_infinity")
+    return t.set_column(t.schema.get_field_index(col), col,
+                        pc.cast(v, pa.int64()))

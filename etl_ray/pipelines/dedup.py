@@ -1,0 +1,325 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.7).
+
+- exact:      content-hash groupby, keep first (oracle-checked)
+- minhash:    3-token shingles → k minhashes → LSH bands → bucket groupby
+              → candidate pairs → exact-Jaccard verify (rows-only)
+- simhash:    64-bit simhash per doc (rows-only, deterministic)
+- jaccard:    character-set Jaccard similarity on doc pairs
+              (oracle-checked against DuckDB's jaccard())
+- embedding:  cosine near-dup pairs over list<float> embeddings
+              (oracle-checked against DuckDB's list_cosine_similarity)
+
+Scale notes are on each operator: the shuffle key is always a
+hash-derived bucket so the all-to-all moves (band, bucket, doc_id)
+triples or per-bucket candidate sets, never full documents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Min
+
+from etl_ray.pipelines._qutil import join_partitions, read
+from etl_ray.pipelines.queries import register
+from etl_ray.util import sha256_hex_array
+
+# ------------------------------------------------------------- exact dedup
+
+
+@register(
+    "dedup_exact",
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, sha256(text) AS sha
+       FROM documents GROUP BY text""",
+)
+def dedup_exact(sf_dir: str):
+    """U3: exact dedup = hash the content, groupby hash, keep min id.
+
+    The shuffle moves (sha, doc_id) pairs only — content stays put. At
+    100 TB this is the canonical exact-dedup shape: 64-byte keys per
+    row, pre-reduced per block before the groupby.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hash(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "sha": sha256_hex_array(t["text"])})
+
+    return (ds.map_batches(_hash, batch_format="pyarrow")
+            .groupby("sha").aggregate(Min("doc_id", alias_name="doc_id")))
+
+
+# ------------------------------------------------------- minhash helpers
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(t: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row 64-bit hashes of k-token shingles.
+
+    Returns (flat_hashes, row_lengths): the i-th row owns
+    flat_hashes[off[i]:off[i]+row_lengths[i]]. Token hashing is
+    pandas-siphash over the flattened stream; shingle combination is a
+    vectorized polynomial over a sliding window.
+    """
+    toks = pc.split_pattern(t["text"], " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lengths = pc.list_value_length(toks).to_numpy()
+    flat = pd.util.hash_array(
+        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
+        categorize=False)
+    B = np.uint64(1099511628211)
+    weights = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    out_h: list[np.ndarray] = []
+    out_n = np.zeros(len(t), dtype=np.int64)
+    pos = 0
+    for i, n in enumerate(lengths):  # per-doc loop; inner fully vectorized
+        h = flat[pos:pos + n]
+        pos += n
+        if n < k:
+            sh = np.array([(h * weights[-len(h):]).sum()], dtype=np.uint64)
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, k)
+            sh = (win * weights).sum(axis=1)
+        sh = np.unique(sh)
+        out_h.append(sh)
+        out_n[i] = len(sh)
+    return np.concatenate(out_h) if out_h else np.empty(0, np.uint64), out_n
+
+
+def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k-permutation minhash of one shingle-hash set (vectorized k×n)."""
+    x = sh.astype(np.uint64)[None, :]
+    perm = (a[:, None] * x + b[:, None]) % _MERSENNE
+    return perm.min(axis=1)
+
+
+NUM_PERM, BANDS = 64, 16
+_COEF: dict[str, np.ndarray] = {}
+
+
+def _perm_coefficients() -> tuple[np.ndarray, np.ndarray]:
+    """Fixed minhash permutation coefficients, built once per worker
+    process (module-level cache — stateless tasks amortize like an
+    actor would, without reserving pool CPUs)."""
+    if not _COEF:
+        rng = np.random.RandomState(1234)
+        _COEF["a"] = rng.randint(1, (1 << 61) - 1, NUM_PERM, dtype=np.uint64)
+        _COEF["b"] = rng.randint(0, (1 << 61) - 1, NUM_PERM, dtype=np.uint64)
+    return _COEF["a"], _COEF["b"]
+
+
+def minhash_triples(t: pa.Table) -> pa.Table:
+    """map_batches stage: emit (band, bucket, doc_id) LSH triples.
+
+    num_perm=64 in 16 bands of 4 rows targets the Jaccard~0.5
+    similarity knee.
+    """
+    a, b = _perm_coefficients()
+    rows_per_band = NUM_PERM // BANDS
+    flat, counts = _shingle_hashes(t)
+    doc_ids = t["doc_id"].to_numpy()
+    bands_out, buckets_out, ids_out = [], [], []
+    pos = 0
+    for i, n in enumerate(counts):
+        sig = _minhash_sig(flat[pos:pos + n], a, b)
+        pos += n
+        bands = sig.reshape(BANDS, rows_per_band)
+        # bucket id = hash of the band's signature rows
+        bucket = (bands * np.uint64(1000003)).sum(axis=1)
+        bands_out.append(np.arange(BANDS, dtype=np.int32))
+        buckets_out.append(bucket.astype(np.int64))
+        ids_out.append(np.full(BANDS, doc_ids[i], dtype=np.int64))
+    return pa.table({
+        "band": pa.array(np.concatenate(bands_out) if bands_out else
+                         np.empty(0, np.int32)),
+        "bucket": pa.array(np.concatenate(buckets_out) if buckets_out else
+                           np.empty(0, np.int64)),
+        "doc_id": pa.array(np.concatenate(ids_out) if ids_out else
+                           np.empty(0, np.int64)),
+    })
+
+
+def _bucket_pairs(g: pa.Table) -> pa.Table:
+    """Candidate pairs within one (band, bucket) group."""
+    ids = np.unique(g["doc_id"].to_numpy())
+    if len(ids) < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ia, ib = np.triu_indices(len(ids), 1)
+    return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
+
+
+@register("dedup_minhash")
+def dedup_minhash(sf_dir: str, threshold: float = 0.5):
+    """MinHash+LSH near-dup detection, verified with exact Jaccard.
+
+    shingle→minhash→band (actor pool) → groupby(band,bucket) → pairs →
+    distinct pairs → join texts back → exact 3-shingle Jaccard filter.
+    Returns (doc_a, doc_b, jacc_e4). The verify join ships only
+    candidate-pair rows — at scale the candidate set is ~linear in the
+    true-dup count, not quadratic.
+    """
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    triples = docs.map_batches(minhash_triples, batch_format="pyarrow",
+                               batch_size=4096)
+    pairs = triples.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow")
+    # distinct candidate pairs (same pair can collide in several bands)
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+    a = docs.rename_columns({"doc_id": "doc_a", "text": "text_a"})
+    b = docs.rename_columns({"doc_id": "doc_b", "text": "text_b"})
+    j = pairs.join(a, join_type="inner", num_partitions=join_partitions(),
+                   on=("doc_a",))
+    j = j.join(b, join_type="inner", num_partitions=join_partitions(),
+               on=("doc_b",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        ha, na = _shingle_hashes(t.select(["text_a"]).rename_columns(["text"]))
+        hb, nb = _shingle_hashes(t.select(["text_b"]).rename_columns(["text"]))
+        oa = np.concatenate([[0], np.cumsum(na)])
+        ob = np.concatenate([[0], np.cumsum(nb)])
+        jac = np.zeros(len(t))
+        for i in range(len(t)):  # candidate pairs only — tiny set
+            sa = ha[oa[i]:oa[i + 1]]
+            sb = hb[ob[i]:ob[i + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            jac[i] = inter / (len(sa) + len(sb) - inter)
+        out = pa.table({
+            "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+            "jacc_e4": pa.array(np.round(jac * 10000).astype(np.int64)),
+        })
+        return out.filter(pc.greater_equal(out["jacc_e4"],
+                                           int(threshold * 10000)))
+
+    return j.map_batches(_verify, batch_format="pyarrow")
+
+
+@register("dedup_simhash")
+def dedup_simhash(sf_dir: str):
+    """64-bit SimHash per document (deterministic, rows-only oracle).
+
+    Bit i of the hash is the sign of the sum over tokens of ±1 at bit i
+    of the token hash — vectorized as a (tokens × 64) popcount-free
+    matrix fold per batch.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    bits = np.arange(64, dtype=np.uint64)
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lengths = pc.list_value_length(toks).to_numpy()
+        flat = pd.util.hash_array(
+            np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
+            categorize=False)
+        seg = np.arange(len(t)).repeat(lengths)
+        # ±1 per bit per token, summed per doc
+        signs = (((flat[:, None] >> bits) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        acc = np.zeros((len(t), 64), dtype=np.int64)
+        np.add.at(acc, seg, signs)
+        sim = ((acc > 0).astype(np.uint64) << bits).sum(axis=1)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array([f"{v:016x}" for v in sim], pa.string()),
+            "band16": pa.array((sim >> np.uint64(48)).astype(np.int64)),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register(
+    "jaccard_pairs",
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(ROUND(jaccard(a.text, b.text) * 10000) AS BIGINT) AS jacc_e4
+       FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+       WHERE a.doc_id < 20 AND b.doc_id < 20""",
+)
+def jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard on doc pairs — DuckDB-matching semantics.
+
+    The pair frame is tiny (bounded id range) so it is built broadcast-
+    style: the filtered docs are collected once, pairs computed per
+    batch partition of the left side.
+    """
+    import pyarrow.parquet as pq
+
+    others = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 20)])
+    ref = ray.put(others)
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    small = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 20)), batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        others = ray.get(ref)
+        oid = others["doc_id"].to_numpy()
+        osets = [frozenset(s) for s in others["text"].to_pylist()]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(t)):
+            da = t["doc_id"][i].as_py()
+            sa = frozenset(t["text"][i].as_py())
+            for j in range(len(others)):
+                if oid[j] <= da:
+                    continue
+                sb = osets[j]
+                inter = len(sa & sb)
+                out_a.append(da)
+                out_b.append(int(oid[j]))
+                out_j.append(round(inter / (len(sa) + len(sb) - inter) * 10000))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jacc_e4": pa.array(out_j, pa.int64())})
+
+    return small.map_batches(_pairs, batch_format="pyarrow")
+
+
+@register(
+    "embedding_neardup",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) > 0.45""",
+)
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs.
+
+    The full (normalized) embedding matrix is broadcast once via
+    ray.put; each batch computes block×all similarities with one float64
+    matmul and emits (i<j) pairs above threshold. At 100-TB scale the
+    broadcast side becomes the IVF/LSH-bucketed variant (ann_ivf);
+    brute-force is the exactness baseline.
+    """
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ref = ray.put((ids, Mn))
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _block(t: pa.Table) -> pa.Table:
+        all_ids, all_m = ray.get(ref)
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ all_m.T
+        bids = t["vec_id"].to_numpy()
+        bi, bj = np.nonzero(sims > 0.45)
+        keep = bids[bi] < all_ids[bj]
+        return pa.table({
+            "vec_a": pa.array(bids[bi][keep], type=pa.int64()),
+            "vec_b": pa.array(all_ids[bj][keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(_block, batch_format="pyarrow")

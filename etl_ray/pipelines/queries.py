@@ -26,3 +26,19 @@ def register(name: str, sql: str | None = None):
             ORACLE[name] = sql
         return fn
     return deco
+
+
+def _load_all() -> None:
+    """Import every query module so registration side-effects run."""
+    from etl_ray.pipelines import (  # noqa: F401
+        cdcq,
+        dedup,
+        multimodal,
+        relational,
+        scalarq,
+        similarity,
+        textops,
+    )
+
+
+_load_all()

@@ -1,0 +1,383 @@
+"""Relational operator conformance queries (SURVEY.md §2.2, §2.4–2.7).
+
+Each query is the Ray-Data-first expression of one operator family —
+vectorized Arrow batches, shuffles only where the operator semantically
+requires one (groupby/join/sort/distinct), broadcast for small sides —
+and is paired with the DuckDB SQL the driver checks it against.
+
+Floating-point policy: any column produced by an *aggregation* (whose
+value depends on summation order) is ROUNDed identically on both sides;
+purely per-row arithmetic (×, −, abs) is IEEE-deterministic and left
+exact.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from etl_ray.functions import expr
+from etl_ray.pipelines._qutil import (fixed_point, join_partitions,
+                                      one_row_table, read)
+from etl_ray.pipelines.queries import register
+
+# ------------------------------------------------------------ filter / project
+
+
+@register(
+    "filter_rows",
+    """SELECT l_orderkey, l_partkey, l_quantity
+       FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+)
+def filter_rows(sf_dir: str):
+    """M2: vectorized batch-level predicate (not ds.filter(row_fn))."""
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_partkey", "l_quantity", "l_returnflag"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(t["l_quantity"], 45),
+                       pc.equal(t["l_returnflag"], "R"))
+        return t.filter(mask).drop_columns(["l_returnflag"])
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register(
+    "project_rename",
+    "SELECT o_orderkey AS okey, o_orderstatus AS status FROM orders",
+)
+def project_rename(sf_dir: str):
+    """M1: column select + rename."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    return ds.rename_columns({"o_orderkey": "okey", "o_orderstatus": "status"})
+
+
+@register(
+    "with_column_revenue",
+    """SELECT l_orderkey, l_linenumber,
+              l_extendedprice * (1 - l_discount) AS revenue
+       FROM lineitem""",
+)
+def with_column_revenue(sf_dir: str):
+    """M3: computed projection (per-row arithmetic — exact, no rounding)."""
+    ds = read(sf_dir, "lineitem",
+              ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1, t["l_discount"]))
+        return t.select(["l_orderkey", "l_linenumber"]).append_column("revenue", rev)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register(
+    "case_when",
+    """SELECT o_orderkey,
+              CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
+       FROM orders""",
+)
+def case_when(sf_dir: str):
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        b = expr.if_else(pc.greater(t["o_totalprice"], 100000), "big", "small")
+        return t.select(["o_orderkey"]).append_column("bucket", b)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ aggregates
+
+
+@register(
+    "agg_global",
+    """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+              CAST(ROUND(AVG(l_discount) * 1000000) AS BIGINT) AS avg_disc_e6,
+              MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+       FROM lineitem""",
+)
+def agg_global(sf_dir: str):
+    """G1: global aggregates — per-block partials combined by Ray Data.
+
+    sum_qty stays double (quantities are integral, so the sum is exact);
+    avg_disc is emitted fixed-point e6 (see _qutil.fixed_point).
+    """
+    ds = read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_shipdate"])
+    row = ds.aggregate(
+        Count(alias_name="n"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Mean("l_discount", alias_name="avg_disc_e6"),
+        Min("l_shipdate", alias_name="min_ship"),
+        Max("l_shipdate", alias_name="max_ship"),
+    )
+    row["avg_disc_e6"] = int(round(row["avg_disc_e6"] * 1_000_000))
+    return one_row_table(row)
+
+
+@register(
+    "agg_group_q1",
+    """SELECT l_returnflag, l_linestatus,
+              SUM(l_quantity) AS sum_qty,
+              CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+              CAST(ROUND(SUM(l_extendedprice * (1 - l_discount))) AS BIGINT)
+                  AS sum_disc_price_r,
+              CAST(ROUND(AVG(l_quantity) * 10000) AS BIGINT) AS avg_qty_e4,
+              COUNT(*) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_group_q1(sf_dir: str):
+    """G2: TPC-H Q1-shaped grouped aggregate (multi-key groupby shuffle)."""
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount"])
+
+    def _derive(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(1, t["l_discount"]))
+        return t.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price_c"),
+            Sum("disc_price", alias_name="sum_disc_price_r"),
+            Mean("l_quantity", alias_name="avg_qty_e4"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def _fp(t: pa.Table) -> pa.Table:
+        t = fixed_point(t, "sum_base_price_c", 100)
+        t = fixed_point(t, "sum_disc_price_r", 1)
+        return fixed_point(t, "avg_qty_e4", 10000)
+
+    return out.map_batches(_fp, batch_format="pyarrow")
+
+
+@register(
+    "group_having",
+    """SELECT o_custkey, COUNT(*) AS n FROM orders
+       GROUP BY o_custkey HAVING COUNT(*) >= 3""",
+)
+def group_having(sf_dir: str):
+    ds = read(sf_dir, "orders", ["o_custkey"])
+    out = ds.groupby("o_custkey").aggregate(Count(alias_name="n"))
+    return out.map_batches(lambda t: t.filter(pc.greater_equal(t["n"], 3)),
+                           batch_format="pyarrow")
+
+
+@register(
+    "count_distinct",
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def count_distinct(sf_dir: str):
+    """G5 exact count-distinct: distinct pairs first, then count per group.
+
+    Both stages shuffle on the same leading key, so at scale the second
+    groupby is over the (much smaller) distinct-pair set.
+    """
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+    pairs = ds.groupby(["l_returnflag", "l_partkey"]).aggregate(Count(alias_name="_c"))
+    return (pairs.drop_columns(["_c"])
+            .groupby("l_returnflag").aggregate(Count(alias_name="n_parts")))
+
+
+# ----------------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner",
+    """SELECT o_orderkey, c_name, o_totalprice
+       FROM orders JOIN customer ON o_custkey = c_custkey""",
+)
+def join_inner(sf_dir: str):
+    """J1: hash equi-join, both sides distributed."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j = orders.join(cust, join_type="inner", num_partitions=join_partitions(),
+                    on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+@register(
+    "join_left_count",
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+       FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey, c_name""",
+)
+def join_left_count(sf_dir: str):
+    """J1 left outer + grouped count of the nullable side."""
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = cust.join(orders, join_type="left_outer", num_partitions=join_partitions(),
+                  on=("c_custkey",), right_on=("o_custkey",))
+    return j.groupby(["c_custkey", "c_name"]).aggregate(
+        Count("o_orderkey", ignore_nulls=True, alias_name="n_orders"))
+
+
+@register(
+    "join_semi",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def join_semi(sf_dir: str):
+    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", ["o_custkey"])
+    return cust.join(orders, join_type="left_semi",
+                     num_partitions=join_partitions(),
+                     on=("c_custkey",), right_on=("o_custkey",))
+
+
+@register(
+    "join_anti",
+    """SELECT o_orderkey, o_custkey FROM orders
+       WHERE NOT EXISTS (SELECT 1 FROM customer
+                         WHERE c_custkey = o_custkey AND c_acctbal > 5000)""",
+)
+def join_anti(sf_dir: str):
+    """J2 anti join: orders whose customer is NOT in the high-balance set."""
+    orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    rich = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000)).select(["c_custkey"]),
+        batch_format="pyarrow")
+    return orders.join(rich, join_type="left_anti",
+                       num_partitions=join_partitions(),
+                       on=("o_custkey",), right_on=("c_custkey",))
+
+
+@register(
+    "broadcast_lookup",
+    """SELECT n_name, COUNT(*) AS n_customers,
+              CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS total_bal_c
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name""",
+)
+def broadcast_lookup(sf_dir: str):
+    """J3: small dimension broadcast via ray.put — no shuffle join.
+
+    nation (25 rows) is put in the object store once; every map task
+    reads the same copy and does a vectorized dictionary take. The only
+    shuffle is the final tiny groupby on n_name.
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    ref = ray.put(lookup)
+
+    cust = read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def _probe(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        names = pa.array([lk.get(k) for k in t["c_nationkey"].to_pylist()],
+                         pa.string())
+        return t.append_column("n_name", names).drop_columns(["c_nationkey"])
+
+    out = (cust.map_batches(_probe, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="n_customers"),
+                      Sum("c_acctbal", alias_name="total_bal_c")))
+    return out.map_batches(lambda t: fixed_point(t, "total_bal_c", 100),
+                           batch_format="pyarrow")
+
+
+@register(
+    "join_star_region",
+    """SELECT r_name, COUNT(*) AS n_orders,
+              CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_c
+       FROM orders
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name""",
+)
+def join_star_region(sf_dir: str):
+    """Star-schema rollup: one distributed join + broadcast dims.
+
+    customer↔orders is the only large-large join; nation→region is
+    pre-joined driver-side (30 rows) and broadcast as a single lookup.
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nk_to_region = {
+        nk: {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(nk_to_region)
+
+    orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = orders.join(cust, join_type="inner", num_partitions=join_partitions(),
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def _probe(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        names = pa.array([lk.get(k) for k in t["c_nationkey"].to_pylist()],
+                         pa.string())
+        return t.select(["o_totalprice"]).append_column("r_name", names)
+
+    out = (j.map_batches(_probe, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="revenue_c")))
+    return out.map_batches(lambda t: fixed_point(t, "revenue_c", 100),
+                           batch_format="pyarrow")
+
+
+# -------------------------------------------------- sort / distinct / set ops
+
+
+@register(
+    "sort_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC LIMIT 10""",
+)
+def sort_topk(sf_dir: str):
+    """O1/O2: distributed sort + limit (per-block top-k then merge)."""
+    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+@register("distinct_one", "SELECT DISTINCT c_mktsegment FROM customer")
+def distinct_one(sf_dir: str):
+    ds = read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+@register(
+    "distinct_multi",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_multi(sf_dir: str):
+    """G4 multi-column distinct: per-block distinct, then grouped distinct."""
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+    local = ds.map_batches(
+        lambda t: t.group_by(["l_returnflag", "l_linestatus"]).aggregate([]),
+        batch_format="pyarrow")
+    out = local.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(alias_name="_c"))
+    return out.drop_columns(["_c"])
+
+
+@register(
+    "union_all",
+    """SELECT c_nationkey AS nationkey FROM customer
+       UNION ALL SELECT s_nationkey AS nationkey FROM supplier""",
+)
+def union_all(sf_dir: str):
+    a = read(sf_dir, "customer", ["c_nationkey"]).rename_columns(
+        {"c_nationkey": "nationkey"})
+    b = read(sf_dir, "supplier", ["s_nationkey"]).rename_columns(
+        {"s_nationkey": "nationkey"})
+    return a.union(b)

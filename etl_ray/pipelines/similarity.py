@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ann_topk:  brute-force cosine top-k against a broadcast query matrix —
+  the exactness baseline, oracle-checked against DuckDB window SQL.
+- ann_ivf:   IVF-bucketed variant — deterministic k-means-lite
+  centroids, cells searched with nprobe>1; the scale path (rows-only,
+  but tested for recall vs brute force in tests/test_textops.py).
+
+Partitioning assumption (documented per SURVEY §2 custom-operator
+rule): the query matrix is small enough to broadcast (ray.put once,
+read per actor); the base table streams through map_batches blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from etl_ray.pipelines._qutil import read
+from etl_ray.pipelines.queries import register
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _load_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy()
+    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+@register(
+    "ann_topk",
+    f"""SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+                  ) AS rk
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < {N_QUERIES} AND e.vec_id != q.vec_id
+       ) WHERE rk <= {TOP_K}""",
+)
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-k: one float64 matmul per block against the
+    broadcast query matrix, then a per-block partial top-k and a final
+    tiny merge on the driver (k × n_queries rows)."""
+    ids, Mn = _load_matrix(sf_dir)
+    qmask = ids < N_QUERIES
+    qids, Q = ids[qmask], Mn[qmask]
+    ref = ray.put((qids, Q))
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _block_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_m = ray.get(ref)
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        bids = t["vec_id"].to_numpy()
+        sims = q_m @ Xn.T  # (n_queries, block)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            s = sims[qi].copy()
+            s[bids == q_ids[qi]] = -np.inf  # exclude self
+            k = min(TOP_K, len(bids))
+            idx = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            out_n.append(bids[idx].astype(np.int64))
+            out_s.append(s[idx])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = ds.map_batches(_block_topk, batch_format="pyarrow")
+
+    # final merge: n_queries × (k × n_blocks) rows — tiny
+    t = pa.concat_tables(ray.get(partial.to_arrow_refs())).combine_chunks()
+    q = t["query_id"].to_numpy()
+    n = t["neighbor_id"].to_numpy()
+    s = t["sim"].to_numpy()
+    keep_q, keep_n = [], []
+    for qi in np.unique(q):
+        m = q == qi
+        # rank by sim desc, tie-break neighbor_id asc (matches the SQL)
+        order = np.lexsort((n[m], -s[m]))[:TOP_K]
+        keep_q.append(np.full(len(order), qi))
+        keep_n.append(n[m][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(keep_q), pa.int64()),
+        "neighbor_id": pa.array(np.concatenate(keep_n), pa.int64()),
+    })
+
+
+@register("ann_ivf")
+def ann_ivf(sf_dir: str, n_cells: int = 16, nprobe: int = 4):
+    """IVF approximate top-k: assign vectors to centroid cells, search
+    only the nprobe closest cells per query.
+
+    Centroids are a deterministic k-means (8 Lloyd iterations from
+    evenly-strided seeds) computed on a driver-side sample — at scale
+    this is a first map_batches pass + a tiny reduce. The cell
+    assignment is the partitioning key; each query ships to nprobe
+    cells only, so the per-query work is ~nprobe/n_cells of brute force.
+    """
+    ids, Mn = _load_matrix(sf_dir)
+    seeds = Mn[:: max(1, len(Mn) // n_cells)][:n_cells]
+    C = seeds.copy()
+    for _ in range(8):
+        assign = (Mn @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Mn[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    qmask = ids < N_QUERIES
+    qids, Q = ids[qmask], Mn[qmask]
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # cells per query
+    ref = ray.put((qids, Q, C, probe))
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _cell_topk(t: pa.Table) -> pa.Table:
+        q_ids, q_m, cents, probe_cells = ray.get(ref)
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        bids = t["vec_id"].to_numpy()
+        cell = (Xn @ cents.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            m = np.isin(cell, probe_cells[qi]) & (bids != q_ids[qi])
+            if not m.any():
+                continue
+            s = q_m[qi] @ Xn[m].T
+            k = min(TOP_K, int(m.sum()))
+            idx = np.argpartition(-s, k - 1)[:k]
+            out_q.append(np.full(k, q_ids[qi], dtype=np.int64))
+            out_n.append(bids[m][idx].astype(np.int64))
+            out_s.append(s[idx])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "neighbor_id": pa.array(np.concatenate(out_n)),
+            "sim": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = ds.map_batches(_cell_topk, batch_format="pyarrow")
+    t = pa.concat_tables(ray.get(partial.to_arrow_refs())).combine_chunks()
+    if len(t) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64())})
+    q = t["query_id"].to_numpy()
+    n = t["neighbor_id"].to_numpy()
+    s = t["sim"].to_numpy()
+    keep_q, keep_n = [], []
+    for qi in np.unique(q):
+        m = q == qi
+        order = np.lexsort((n[m], -s[m]))[:TOP_K]
+        keep_q.append(np.full(len(order), qi))
+        keep_n.append(n[m][order])
+    return pa.table({
+        "query_id": pa.array(np.concatenate(keep_q), pa.int64()),
+        "neighbor_id": pa.array(np.concatenate(keep_n), pa.int64()),
+    })

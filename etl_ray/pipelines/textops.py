@@ -1,0 +1,164 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All stages are vectorized `map_batches` transforms over the `documents`
+table; the language-ID stage is a callable class (actor pool) because it
+holds compiled state (stopword tables) — the pattern a real fasttext-
+style model loader would use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from etl_ray.pipelines._qutil import read
+from etl_ray.pipelines.queries import register
+
+
+def _token_lists(t: pa.Table, col: str = "text"):
+    toks = pc.split_pattern(t[col], " ")
+    return toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+
+
+@register(
+    "token_count",
+    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       FROM documents""",
+)
+def token_count(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(_token_lists(t)), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register(
+    "text_quality",
+    """SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars2,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 10000.0
+                         / len(string_split(text, ' '))) AS BIGINT) AS uniq_e4
+       FROM documents""",
+)
+def text_quality(sf_dir: str):
+    """Quality-score components: char/token counts + type-token ratio.
+
+    The distinct-per-row count is computed with one pandas groupby over
+    the flattened (row_id, token) pairs — no Python loop per row.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t)
+        lengths = pc.list_value_length(toks).to_numpy()
+        seg = np.arange(len(t)).repeat(lengths)
+        flat = pc.list_flatten(toks).to_pandas()
+        nuniq = pd.Series(flat.values).groupby(seg).nunique()
+        nuniq = nuniq.reindex(np.arange(len(t)), fill_value=0).to_numpy()
+        # floor(x+0.5) = DuckDB ROUND's half-away-from-zero (positive x);
+        # np.round would use half-to-even and diverge on exact halves.
+        uniq_e4 = np.floor(
+            nuniq * 10000.0 / np.maximum(lengths, 1) + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars2": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "n_tokens": pa.array(lengths.astype(np.int64)),
+            "uniq_e4": pa.array(uniq_e4),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+class LangId:
+    """Heuristic language ID over token frequencies (actor-pool stage).
+
+    Stand-in for a fasttext-style classifier: state (marker-token tables)
+    is built once per actor in __init__; __call__ scores batches
+    vectorized. Not SQL-expressible — rows-only oracle.
+    """
+
+    MARKERS = {
+        "en": {"the", "a", "of", "and", "to", "value", "row", "data"},
+        "code": {"def", "return", "fn", "let", "struct", "impl", "func",
+                 "var", "void", "int"},
+    }
+
+    def __init__(self):
+        self.tables = {k: frozenset(v) for k, v in self.MARKERS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = _token_lists(t)
+        lengths = pc.list_value_length(toks).to_numpy()
+        seg = np.arange(len(t)).repeat(lengths)
+        flat = pd.Series(pc.list_flatten(toks).to_pandas().values)
+        scores = {}
+        for lang, table in self.tables.items():
+            hit = flat.isin(table).to_numpy()
+            s = np.zeros(len(t))
+            np.add.at(s, seg, hit)
+            scores[lang] = s / np.maximum(lengths, 1)
+        langs = sorted(scores)
+        mat = np.stack([scores[l] for l in langs], axis=1)
+        pred = np.array(langs, dtype=object)[mat.argmax(axis=1)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array(pred, pa.string()),
+            "score_e4": pa.array(np.round(mat.max(axis=1) * 10000).astype(np.int64)),
+        })
+
+
+@register("lang_id")
+def lang_id(sf_dir: str):
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
+                          concurrency=2)
+
+
+@register("fingerprint")
+def fingerprint(sf_dir: str):
+    """Winnowing-style document fingerprint (rolling polynomial hash).
+
+    Per doc: 64-bit rolling hash over 4-token windows, fingerprint = min
+    hash (content-defined, stable under token-preserving reflow). All
+    window hashing is vectorized over the flattened token stream.
+    Deterministic — rows-only oracle checks count + stable values.
+    """
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    W = 4
+    B = np.uint64(1000003)
+    POW = B ** np.uint64(W - 1)
+
+    def _f(t: pa.Table) -> pa.Table:
+        toks = _token_lists(t)
+        lengths = pc.list_value_length(toks).to_numpy()
+        flat = pd.util.hash_array(
+            np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
+            categorize=False)
+        fps = np.zeros(len(t), dtype=np.uint64)
+        pos = 0
+        for i, n in enumerate(lengths):  # per-doc; inner ops vectorized
+            h = flat[pos:pos + n]
+            pos += n
+            if n < W:
+                acc = np.uint64(0)
+                for v in h:
+                    acc = acc * B + v
+                fps[i] = acc
+                continue
+            # rolling hash of every W-window, fully vectorized:
+            windows = np.lib.stride_tricks.sliding_window_view(h, W)
+            weights = B ** np.arange(W - 1, -1, -1, dtype=np.uint64)
+            fps[i] = (windows * weights).sum(axis=1).min()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp": pa.array([f"{v:016x}" for v in fps], pa.string()),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
