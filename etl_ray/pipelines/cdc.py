@@ -1,19 +1,29 @@
 """The flagship CDC replay pipeline (SURVEY.md §3.1).
 
-Per epoch (micro-batch):
+Replay processes the WAL in **windows of epochs**. Per epoch (its own
+streaming Ray Data execution):
 
-    read_parquet(wal/epoch=K)                      # S2 bounded WAL tail
-      → map_batches(prepare_events)                # M4 parse + M9 audit +
-                                                   # M7 sha256 + pid routing
-      → groupby("pid").map_groups(MergeApplier,    # A1/A3/A4 stateful stage
-                                  concurrency=N)   #   (actor pool)
+    read_parquet(wal/epoch=K)                  # S2 bounded WAL tail
+      → map_batches(prepare_events)            # M4 parse + M9 audit +
+                                               # M7 sha256 + pid routing
+      → groupby("pid").map_groups(merge)       # A1/A3/A4 merge stage
+                                               #   (tasks or actor pool)
       → take_all() manifest entries (≤ P tiny rows)
-      → manifest.commit_epoch(...)                 # S3 phase-2, atomic
 
-The driver holds only: the epoch loop, the running unified schema, and
-the commit. Resume = skip committed epochs + broadcast per-partition lsn
-high-watermarks into the appliers (replay from any checkpoint
-reconverges — BASELINE.json:6,14).
+The epochs of a window execute CONCURRENTLY (driver threads — epochs
+are independent until commit: disjoint lsn ranges, separate delta
+files), which hides each execution's fixed cost (~2s: planning, sort
+sampling, task ramp-up — it dominated wall time when epochs ran
+serially) and keeps the cluster saturated. Commits then run strictly
+sequentially in epoch order with monotonic fencing (S3 phase-2), so
+crash/resume granularity is one window: whatever prefix committed
+before a crash is skipped on resume, the rest recomputes (delta-file
+writes are deterministic + idempotent). The window size bounds
+in-flight state at 10^10-event scale.
+
+The driver holds only: the window loop, the running unified schema, and
+the commits. Merge state (per-partition lsn high-watermarks) is
+broadcast via ray.put and persisted in manifests (BASELINE.json:6,14).
 """
 
 from __future__ import annotations
@@ -30,7 +40,32 @@ from etl_ray.sources import wal as wal_mod
 from etl_ray.state import lineage as lineage_mod
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.state.merge import MergeApplier, payload_schema, prepare_events
+from etl_ray.state.merge import (MergeApplier, make_fragment_writer,
+                                 make_merge_fn, payload_schema,
+                                 prepare_events)
+
+# epochs per streaming execution; bounds in-flight shuffle state (tune to
+# cluster memory at scale — each window holds ~window × epoch_bytes in
+# the object store through the groupby)
+DEFAULT_WINDOW = 8
+# direct mode: pids per fragment bucket (bounds fragment-file count:
+# each map task writes ≤ num_partitions / BUCKET_SPAN files per batch)
+BUCKET_SPAN = 8
+
+
+def _lake_mode(lake_dir: str) -> str | None:
+    """Detect the ingest mode of an existing lake from its manifests.
+
+    Direct-mode manifests key watermarks by bucket, sorted-mode by pid —
+    a resumed replay must keep the original mode or the broadcast hwm
+    index would be misinterpreted.
+    """
+    last = mf.last_committed(lake_dir)
+    if last < 0:
+        return None
+    for entry in mf.read_manifest(lake_dir, last)["partitions"].values():
+        return "direct" if "files" in entry else "sorted"
+    return None
 
 
 def epoch_schema(wal_dir: str, epoch: int):
@@ -38,40 +73,132 @@ def epoch_schema(wal_dir: str, epoch: int):
     return payload_schema(pads.dataset(f"{wal_dir}/epoch={epoch}").schema)
 
 
+def _merge_entry_rows(rows: list[dict]) -> dict:
+    """Combine several fragment-writer entry rows for one (epoch, bucket)."""
+    out = {
+        "files": [f for r in rows for f in r["files"]],
+        "lsn_min": min((r["lsn_min"] for r in rows if r["lsn_min"] >= 0),
+                       default=-1),
+        "lsn_max": max(r["lsn_max"] for r in rows),
+        "n_events": sum(r["n_events"] for r in rows),
+        "n_upserts": sum(r["n_upserts"] for r in rows),
+        "n_deletes": sum(r["n_deletes"] for r in rows),
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_quarantined": sum(r["n_quarantined"] for r in rows),
+        "hwm": max(r["hwm"] for r in rows),
+    }
+    checksum = 0
+    for r in rows:
+        checksum ^= int(r["checksum"], 16)
+    out["checksum"] = f"{checksum:016x}"
+    return out
+
+
+def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
+                 num_partitions: int, concurrency=None,
+                 mode: str = "direct") -> list[dict]:
+    """Apply a window of epochs; commit each in ascending order.
+
+    Each epoch is its own Ray Data execution (read → prep → per-pid
+    shuffle → merge), but the window's executions run CONCURRENTLY from
+    driver threads: epochs are independent until commit (disjoint lsn
+    ranges, independent delta files), so overlapping them hides each
+    execution's fixed cost and keeps the cluster saturated, while the
+    commit loop below stays strictly sequential per epoch (monotonic
+    fencing). A window-unified schema keeps all delta files of the
+    window mutually compatible.
+    """
+    epochs = [k for k in epochs if k > mf.last_committed(lake_dir)]
+    if not epochs:
+        return []
+    mode = _lake_mode(lake_dir) or mode  # a resumed lake keeps its mode
+    current = mf.current_schema(lake_dir)
+    unified = current
+    for k in epochs:
+        unified = schema_mod.unify(unified, epoch_schema(wal_dir, k))
+    schema_b64 = schema_mod.to_b64(unified)
+    hwm_ref = ray.put(mf.high_watermarks(lake_dir))
+
+    num_buckets = max(1, num_partitions // BUCKET_SPAN)
+
+    def _build_epoch(k: int):
+        """Lazy per-epoch pipeline — built on the MAIN thread (read_parquet
+        does lazy imports whose failure handling is not thread-safe in
+        ray 2.49); only execution (take_all) runs in the pool."""
+        ds = wal_mod.read_epoch(
+            wal_dir, k, blocks_per_cpu=2.0 if mode == "direct" else 0.5)
+        ds = ds.map_batches(prepare_events(num_partitions),
+                            batch_format="pyarrow")
+        if mode == "direct":
+            # scale path: partial reduce + bucket-partitioned fragment
+            # writes, no pre-merge shuffle (merge.make_fragment_writer)
+            return ds.map_batches(
+                make_fragment_writer(lake_dir, schema_b64, hwm_ref,
+                                     num_partitions, num_buckets),
+                batch_format="pyarrow",
+            )
+        if concurrency is None:
+            # warm-worker tasks (no per-epoch actor-pool spin-up)
+            return ds.groupby("pid").map_groups(
+                make_merge_fn(lake_dir, k, schema_b64, hwm_ref),
+                batch_format="pyarrow",
+            )
+        return ds.groupby("pid").map_groups(
+            MergeApplier,
+            fn_constructor_args=(lake_dir, k, schema_b64, hwm_ref),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+
+    plans = {k: _build_epoch(k) for k in epochs}
+    if len(epochs) == 1:
+        results = {k: plan.take_all() for k, plan in plans.items()}
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(epochs)) as pool:
+            futs = {k: pool.submit(plan.take_all)  # ≤ P tiny rows each
+                    for k, plan in plans.items()}
+            results = {k: f.result() for k, f in futs.items()}
+
+    summaries = []
+    for k in epochs:  # phase-2: strictly ascending per-epoch commits
+        if mode == "direct":
+            by_bucket: dict[int, list[dict]] = {}
+            for r in results[k]:
+                by_bucket.setdefault(int(r["pid"]), []).append(r)
+            partitions = {b: _merge_entry_rows(rs)
+                          for b, rs in by_bucket.items()}
+        else:
+            partitions = {int(r["pid"]): {c: v for c, v in r.items()
+                                          if c not in ("pid", "epoch")}
+                          for r in results[k]}
+        mf.commit_epoch(lake_dir, k, unified, partitions, num_partitions)
+        summaries.append({
+            "epoch": k,
+            "n_events": sum(e["n_events"] for e in partitions.values()),
+            "n_rows": sum(e["n_rows"] for e in partitions.values()),
+            "n_quarantined": sum(e["n_quarantined"]
+                                 for e in partitions.values()),
+        })
+    return summaries
+
+
 def apply_epoch(wal_dir: str, lake_dir: str, epoch: int, num_partitions: int,
-                concurrency=None) -> dict:
+                concurrency=None, mode: str = "direct") -> dict:
     """Apply one WAL epoch to the lake; returns the epoch's lineage summary."""
     if epoch <= mf.last_committed(lake_dir):
         # already committed — replaying it is a no-op (exactly-once)
         return {"epoch": epoch, "n_events": 0, "n_rows": 0, "n_quarantined": 0,
                 "skipped": True}
-    current = mf.current_schema(lake_dir)
-    unified = schema_mod.unify(current, epoch_schema(wal_dir, epoch))
-    hwm_ref = ray.put(mf.high_watermarks(lake_dir))
-
-    ds = wal_mod.read_epoch(wal_dir, epoch)
-    ds = ds.map_batches(prepare_events(num_partitions), batch_format="pyarrow")
-    entries = ds.groupby("pid").map_groups(
-        MergeApplier,
-        fn_constructor_args=(lake_dir, epoch, schema_mod.to_b64(unified), hwm_ref),
-        batch_format="pyarrow",
-        concurrency=concurrency or (1, max(2, (os.cpu_count() or 8) // 2)),
-        num_cpus=1,
-    )
-    rows = entries.take_all()  # ≤ num_partitions tiny rows
-    partitions = {int(r["pid"]): {k: v for k, v in r.items() if k != "pid"}
-                  for r in rows}
-    mf.commit_epoch(lake_dir, epoch, unified, partitions, num_partitions)
-    return {
-        "epoch": epoch,
-        "n_events": sum(e["n_events"] for e in partitions.values()),
-        "n_rows": sum(e["n_rows"] for e in partitions.values()),
-        "n_quarantined": sum(e["n_quarantined"] for e in partitions.values()),
-    }
+    return apply_window(wal_dir, lake_dir, [epoch], num_partitions,
+                        concurrency, mode=mode)[0]
 
 
 def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
-           concurrency=None, stop_after: int | None = None) -> dict:
+           concurrency=None, stop_after: int | None = None,
+           window: int = DEFAULT_WINDOW, mode: str = "direct") -> dict:
     """Replay the WAL into the lake, resuming from the committed checkpoint.
 
     ``stop_after=k`` simulates a crash after k epochs (for resume tests).
@@ -88,10 +215,15 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
     t0 = time.perf_counter()
     total_events = 0
     applied = []
-    for k in range(start, end):
-        s = apply_epoch(wal_dir, lake_dir, k, num_partitions, concurrency)
-        total_events += s["n_events"]
-        applied.append(s)
+    for w0 in range(start, end, window):
+        tw = time.perf_counter()
+        ss = apply_window(wal_dir, lake_dir, list(range(w0, min(w0 + window, end))),
+                          num_partitions, concurrency, mode=mode)
+        dw = round(time.perf_counter() - tw, 3)
+        for s in ss:
+            s["window_wall_s"] = dw
+            total_events += s["n_events"]
+            applied.append(s)
     wall = time.perf_counter() - t0
     lineage_mod.write_lineage(lake_dir)
     return {

@@ -50,17 +50,19 @@ def make_path(seed: int, repo: str, file_idx: int) -> tuple[str, str]:
     return f"src/{dirs}/{name}.{_EXT[lang]}", lang
 
 
+_MEAN_TOKEN = sum(len(w) + 1 for w in _VOCAB) / len(_VOCAB)
+
+
 def make_content(seed: int, repo: str, path: str, version: int) -> str:
-    """Deterministic token soup, 64–4096 chars."""
+    """Deterministic token soup, ~64–4096 chars.
+
+    One bulk ``rng.choices`` call instead of a per-word loop — content
+    generation is the WAL generator's hot path at bench scale.
+    """
     rng = _row_rng(seed, repo, path, version)
     target = rng.randint(64, 4096)
-    words: list[str] = []
-    n = 0
-    while n < target:
-        w = rng.choice(_VOCAB)
-        words.append(w)
-        n += len(w) + 1
-    return " ".join(words)
+    k = max(1, round(target / _MEAN_TOKEN))
+    return " ".join(rng.choices(_VOCAB, k=k))
 
 
 def make_commit(seed: int, repo: str, path: str, version: int) -> str:

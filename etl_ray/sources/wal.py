@@ -46,11 +46,14 @@ def _priority_to_lsn(u: float, tiebreak: int) -> int:
 
 def _events_for_key(seed: int, repo: str, path: str, lang: str,
                     repo_idx: int, n_repos: int, n_epochs: int,
-                    hot_updates: int) -> list[dict]:
+                    hot_updates: int, update_p: float = 0.5) -> list[dict]:
     rng = random.Random(f"{seed}:wal:{repo}:{path}")
-    # geometric(p=0.5) update count + Zipf-weighted hot-repo extra updates
+    # geometric(update_p) update count + Zipf-weighted hot-repo extras;
+    # update_p tunes churn: 0.5 → ~1 update/key (insert-heavy), 0.85 →
+    # ~5.7 (update-heavy, the realistic CDC regime where LWW reduction
+    # actually compacts)
     n_upd = 0
-    while rng.random() < 0.5:
+    while rng.random() < update_p:
         n_upd += 1
     zipf_w = (repo_idx + 1) ** -ZIPF_A  # rank-based Zipf popularity
     n_upd += int(hot_updates * zipf_w)
@@ -88,7 +91,8 @@ def _events_for_key(seed: int, repo: str, path: str, lang: str,
 
 
 def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
-                 n_repos: int, seed: int = SEED, hot_updates: int = 8) -> dict:
+                 n_repos: int, seed: int = SEED, hot_updates: int = 8,
+                 update_p: float = 0.5) -> dict:
     """Materialize an epoch-partitioned WAL under ``wal_dir``.
 
     Writes ``wal_dir/epoch=K/part-*.parquet`` per epoch with the
@@ -106,7 +110,8 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
         for repo, path, lang in zip(repos, paths, langs):
             repo_idx = int(repo.split("repo", 1)[1])
             rows.extend(_events_for_key(seed, repo, path, lang, repo_idx,
-                                        n_repos, n_epochs, hot_updates))
+                                        n_repos, n_epochs, hot_updates,
+                                        update_p))
         cols = ["lsn", "epoch", "op", "repo", "path", "commit", "lang",
                 "content", "size", "stars"]
         return pa.table(
@@ -131,9 +136,27 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
     return {"n_events": n_events, "n_epochs": n_epochs}
 
 
-def read_epoch(wal_dir: str, epoch: int) -> "ray.data.Dataset":
-    """Read one epoch of the WAL as a Dataset (files carry the epoch col)."""
-    return ray.data.read_parquet(f"{wal_dir}/epoch={epoch}")
+def read_epoch(wal_dir: str, epoch: int,
+               blocks_per_cpu: float = 2.0) -> "ray.data.Dataset":
+    """Read one epoch of the WAL as a Dataset (files carry the epoch col).
+
+    The block count is forced explicitly: an epoch often lands in one or
+    two Parquet files, and downstream parallelism follows *input
+    blocks* — with the default inference a whole epoch could run as a
+    single task. Direct-mode ingest (no shuffle) wants ~2 blocks/CPU
+    for smooth load balance; the sorted-merge path passes a smaller
+    factor because the sort-shuffle's object-IPC load grows with block
+    count and the single-node raylet saturates before the CPUs do.
+    """
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — uninitialised session
+        cpus = 8
+    n_blocks = max(8, int(cpus * blocks_per_cpu))
+    return ray.data.read_parquet(f"{wal_dir}/epoch={epoch}",
+                                 override_num_blocks=n_blocks)
 
 
 def reference_replay(wal_dir: str, n_epochs: int) -> dict[tuple[str, str], dict]:

@@ -138,5 +138,7 @@ def committed_files(lake_dir: str) -> list[str]:
     for m in manifests[start:]:
         for entry in m["partitions"].values():
             if entry["n_rows"] > 0:
-                files.append(os.path.join(lake_dir, entry["file"]))
+                # sorted mode: one "file"; direct mode: "files" fragments
+                for rel in entry.get("files") or [entry["file"]]:
+                    files.append(os.path.join(lake_dir, rel))
     return files

@@ -110,6 +110,28 @@ def test_compaction_preserves_state(wal_dir, ref_state, tmp_path):
     assert len(mf.committed_files(lake)) <= P
 
 
+def test_direct_and_sorted_modes_converge_identically(wal_dir, ref_state,
+                                                      tmp_path):
+    """The shuffle-free direct-write ingest and the sorted per-partition
+    merge must produce the same final table (and match the reference)."""
+    ld, ls = str(tmp_path / "ld"), str(tmp_path / "ls")
+    replay(wal_dir, ld, N_EPOCHS, num_partitions=P, mode="direct")
+    replay(wal_dir, ls, N_EPOCHS, num_partitions=P, mode="sorted")
+    assert lake_shas(ld) == lake_shas(ls) == ref_shas(ref_state)
+
+
+def test_resumed_lake_keeps_its_mode(wal_dir, tmp_path):
+    """A lake started in sorted mode must resume in sorted mode (the
+    manifest watermark index is keyed differently per mode)."""
+    from etl_ray.pipelines.cdc import _lake_mode
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2,
+           mode="sorted")
+    assert _lake_mode(lake) == "sorted"
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, mode="direct")
+    assert _lake_mode(lake) == "sorted"  # direct request was overridden
+
+
 def test_lineage_counts(wal_dir, tmp_path):
     from etl_ray.state.lineage import lineage_table
     lake = str(tmp_path / "lake")
