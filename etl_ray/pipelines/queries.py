@@ -31,6 +31,7 @@ def register(name: str, sql: str | None = None):
 def _load_all() -> None:
     """Import every query module so registration side-effects run."""
     from etl_ray.pipelines import (  # noqa: F401
+        advanced,
         cdcq,
         dedup,
         multimodal,

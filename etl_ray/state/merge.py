@@ -260,7 +260,15 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
             _atomic_write(bad, qpath)
         batch = batch.filter(pc.equal(batch["audit_ok"], True))
         if len(batch) == 0:
-            return empty
+            # quarantine-only batch: still report the counts (dropping
+            # them here silently under-counted lineage)
+            rows = [{
+                "epoch": epoch, "pid": b, "files": [],
+                "lsn_min": -1, "lsn_max": -1, "n_events": 0,
+                "n_upserts": 0, "n_deletes": 0, "n_rows": 0,
+                "n_quarantined": c, "checksum": "0" * 16, "hwm": -1,
+            } for b, c in n_bad_by_bucket.items()]
+            return pa.Table.from_pylist(rows, schema=empty.schema)
 
         # partial LWW reduce per key within the task's batch; cross-task
         # and cross-epoch duplicates resolve at merge-on-read (max lsn)
