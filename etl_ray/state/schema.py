@@ -25,7 +25,9 @@ def unify(current: pa.Schema | None, incoming: pa.Schema) -> pa.Schema:
         return incoming
     try:
         unified = pa.unify_schemas([current, incoming], promote_options="permissive")
-    except pa.ArrowError as e:  # pragma: no cover - incompatible types
+    except (pa.lib.ArrowException, TypeError) as e:
+        # pyarrow raises ArrowTypeError (a TypeError subclass, NOT an
+        # ArrowInvalid) for unmergeable field types
         raise SchemaEvolutionError(f"incompatible schema change: {e}") from e
     # forbid silent column drops (unify never drops, but guard anyway)
     names = set(unified.names)
