@@ -60,6 +60,26 @@ def cdc_resume(sf_dir: str):
     return read_lake(f"{base}/lake")
 
 
+@register("cdc_compact")
+def cdc_compact(sf_dir: str):
+    """Replay then compact the lake to one resolved base per partition
+    (S4); returns the compacted current state — identical row set to
+    cdc_replay's by the compaction-preserves-state invariant."""
+    from etl_ray.pipelines.cdc import replay
+    from etl_ray.sources.corpus import generate_corpus
+    from etl_ray.sources.wal import generate_wal
+    from etl_ray.state.lake import compact, read_lake
+
+    base = _workdir(sf_dir, "compact")
+    shutil.rmtree(base, ignore_errors=True)
+    n_keys, n_repos, n_epochs = 400, 16, 4
+    corpus = generate_corpus(n_keys, n_repos=n_repos)
+    generate_wal(corpus, f"{base}/wal", n_epochs=n_epochs, n_repos=n_repos)
+    replay(f"{base}/wal", f"{base}/lake", n_epochs, num_partitions=8)
+    compact(f"{base}/lake")
+    return read_lake(f"{base}/lake")
+
+
 @register("cdc_lineage")
 def cdc_lineage(sf_dir: str):
     """Per-partition lineage records (offset ranges, counts, checksums)

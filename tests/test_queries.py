@@ -153,6 +153,18 @@ def test_lang_id_prefers_code_markers(registry):
     assert (out.score_e4 >= 0).all()
 
 
+def test_hll_within_error_bound(registry, oracle_con):
+    """HLL approximate count-distinct lands within ±5% of exact
+    (4096 registers → ~1.6% standard error)."""
+    queries, _ = registry
+    approx = _to_pandas(queries["sketch_hll_partkeys"](SF_DIR))
+    exact = oracle_con.execute(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()[0]
+    got = int(approx["approx_n_parts"].iloc[0])
+    assert abs(got - exact) / exact < 0.05
+
+
 def test_fingerprint_stable(registry):
     queries, _ = registry
     a = _to_pandas(queries["fingerprint"](SF_DIR)).sort_values("doc_id")
