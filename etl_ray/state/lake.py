@@ -38,8 +38,14 @@ def _resolve_group(group: pa.Table) -> pa.Table:
 
 
 def read_lake(lake_dir: str, num_partitions: int | None = None,
-              keep_sha: bool = True) -> "ray.data.Dataset":
-    """Scan the converged current state of the lake (merge-on-read)."""
+              keep_sha: bool = True,
+              columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Scan the converged current state of the lake (merge-on-read).
+
+    ``columns`` prunes the payload at the Parquet read — only the
+    requested columns plus the merge metadata (key, lsn, op, sha) leave
+    storage, so a 2-column scan of a wide lake doesn't ship `content`.
+    """
     files = mf.committed_files(lake_dir)
     schema = mf.current_schema(lake_dir)
     if not files or schema is None:
@@ -48,6 +54,9 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     last = mf.read_manifest(lake_dir, mf.last_committed(lake_dir))
     P = num_partitions or last["num_partitions"]
 
+    if columns is not None:
+        schema = pa.schema([f for f in schema
+                            if f.name in set(columns) | set(KEY_COLS)])
     full = pa.schema(list(schema) + [pa.field("lsn", pa.int64()),
                                      pa.field("op", pa.string()),
                                      pa.field("content_sha256", pa.string())])
@@ -56,7 +65,9 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
         t = schema_mod.conform(t, full)
         return add_pid_column(t, KEY_COLS, P, pid_col="upid")
 
-    ds = ray.data.read_parquet(files)
+    read_cols = None if columns is None else list(
+        dict.fromkeys([*KEY_COLS, *columns, "lsn", "op", "content_sha256"]))
+    ds = ray.data.read_parquet(files, columns=read_cols)
     ds = ds.map_batches(_conform, batch_format="pyarrow")
     out = ds.groupby("upid").map_groups(_resolve_group, batch_format="pyarrow")
     if not keep_sha:
