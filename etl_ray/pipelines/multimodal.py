@@ -66,6 +66,71 @@ class FakeImageDecoder:
         })
 
 
+VIDEO_MAGIC = b"FVID"
+FRAME_BYTES = 64
+
+
+def encode_fake_video(doc_id: int) -> bytes:
+    """Deterministic fake video payload: 8-byte header (magic +
+    uint32 frame count) + n_frames × FRAME_BYTES pseudo-frames."""
+    n_frames = 8 + (doc_id * 5) % 56
+    rng = np.random.RandomState((doc_id * 31) % (2**31))
+    body = rng.randint(0, 256, n_frames * FRAME_BYTES,
+                       dtype=np.uint8).tobytes()
+    return VIDEO_MAGIC + struct.pack("<I", n_frames) + body
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (STUB decode — real ffmpeg swap
+    point is `_frames_of`): emits every k-th frame as its own row
+    (binary column explode), the layout a caption/embedding stage
+    downstream would consume. Small batch_size — each row is a payload.
+    """
+
+    def __init__(self, stride: int = 8):
+        self.stride = stride
+
+    def _frames_of(self, payload: bytes) -> list[bytes]:
+        if payload[:4] != VIDEO_MAGIC:
+            raise NotImplementedError("only FVID fake payloads supported "
+                                      "in this environment")
+        (n,) = struct.unpack("<I", payload[4:8])
+        body = payload[8:]
+        return [body[i * FRAME_BYTES:(i + 1) * FRAME_BYTES]
+                for i in range(0, n, self.stride)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for doc_id, payload in zip(t["doc_id"].to_pylist(),
+                                   t["video"].to_pylist()):
+            for j, fr in enumerate(self._frames_of(payload)):
+                ids.append(doc_id)
+                fidx.append(j * self.stride)
+                frames.append(fr)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+@register("multimodal_frame_sample")
+def multimodal_frame_sample(sf_dir: str):
+    """Video-column pipeline: attach fake video payloads, explode every
+    8th frame via an actor pool. Rows-only oracle (deterministic count:
+    sum over docs of ceil(n_frames/8))."""
+    ds = read(sf_dir, "documents", ["doc_id"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        payloads = [encode_fake_video(i) for i in t["doc_id"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "video": pa.array(payloads, pa.binary())})
+
+    with_vid = ds.map_batches(_attach, batch_format="pyarrow")
+    return with_vid.map_batches(FrameSampler, batch_format="pyarrow",
+                                batch_size=128, concurrency=2)
+
+
 @register("multimodal_decode")
 def multimodal_decode(sf_dir: str):
     """Binary-column pipeline: attach fake payloads, decode via actor

@@ -101,6 +101,39 @@ def ann_topk(sf_dir: str):
     })
 
 
+@register(
+    "embedding_norms",
+    """SELECT vec_id, label,
+              CAST(ROUND(sqrt(list_sum(list_transform(
+                  CAST(embedding AS DOUBLE[]), x -> x * x))) * 10000)
+                  AS BIGINT) AS norm_e4
+       FROM embeddings""",
+)
+def embedding_norms(sf_dir: str):
+    """Vector feature extraction: L2 norm per embedding, vectorized as
+    one numpy reduction per batch (oracle: DuckDB list lambdas).
+
+    Both sides square/sum the same float32-valued doubles left-to-right
+    vs pairwise — the e4 fixed-point absorbs the last-bit difference.
+    """
+    ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        # match DuckDB list_sum's sequential left-to-right accumulation
+        acc = np.zeros(len(M))
+        for j in range(M.shape[1]):
+            acc += M[:, j] * M[:, j]
+        norm = np.sqrt(acc)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "label": t["label"],
+            "norm_e4": pa.array(np.floor(norm * 10000 + 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 @register("ann_ivf")
 def ann_ivf(sf_dir: str, n_cells: int = 16, nprobe: int = 4):
     """IVF approximate top-k: assign vectors to centroid cells, search

@@ -138,6 +138,20 @@ def test_multimodal_decode_roundtrip(registry):
         assert out.loc[doc_id, "n_bytes"] == len(encode_fake_image(doc_id, ""))
 
 
+def test_multimodal_frame_sampling(registry):
+    from etl_ray.pipelines.multimodal import FRAME_BYTES
+
+    queries, _ = registry
+    out = _to_pandas(queries["multimodal_frame_sample"](SF_DIR))
+    # every sampled frame has the fixed frame payload size and the
+    # per-doc count matches ceil(n_frames / stride)
+    assert (out["frame"].map(len) == FRAME_BYTES).all()
+    per_doc = out.groupby("doc_id").size()
+    for doc_id, n in list(per_doc.items())[:20]:
+        n_frames = 8 + (doc_id * 5) % 56
+        assert n == -(-n_frames // 8)
+
+
 def test_multimodal_rejects_non_fake_payload():
     from etl_ray.pipelines.multimodal import FakeImageDecoder
 
