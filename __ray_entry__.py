@@ -27,16 +27,17 @@ def entry() -> Any:
     and returns the converged lake table as a Dataset.
     """
     from etl_ray.pipelines.cdc import replay
-    from etl_ray.sources.corpus import generate_corpus
+    from etl_ray.sources.corpus import corpus_from_documents
     from etl_ray.sources.wal import generate_wal
     from etl_ray.state.lake import read_lake
 
     base = "/tmp/etl_ray_entry"
     shutil.rmtree(base, ignore_errors=True)
-    n_keys, n_repos, n_epochs = 300, 20, 4
-    corpus = generate_corpus(n_keys, n_repos=n_repos)
-    generate_wal(corpus, f"{base}/wal", n_epochs=n_epochs, n_repos=n_repos)
-    replay(f"{base}/wal", f"{base}/lake", n_epochs, num_partitions=8)
+    # corpus = the driver's sf0.001 documents table mapped onto the
+    # mandated (repo, path, commit, lang, content) shape
+    corpus = corpus_from_documents("/root/testdata/sf0.001")
+    generate_wal(corpus, f"{base}/wal", n_epochs=4, n_repos=8)
+    replay(f"{base}/wal", f"{base}/lake", 4, num_partitions=8)
     return read_lake(f"{base}/lake")
 
 

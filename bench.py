@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "token_histogram",    # explode + partial-agg shuffle
     "ann_topk",           # brute-force cosine top-k
     "hash_sha256",        # per-row invariant hash
+    "q3_shipping_priority",  # 3-way join + rollup + top-k composite
+    "sessionize",         # gap-based session windows
 ]
 
 

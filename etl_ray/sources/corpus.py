@@ -81,6 +81,37 @@ def corpus_row(seed: int, repo_idx: int, file_idx: int, version: int = 1) -> dic
     }
 
 
+def corpus_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """Driver-table corpus: map the sf* ``documents`` table onto the
+    mandated corpus shape (repo, path, commit, lang, content) —
+    BASELINE.json:15 — so the flagship replay runs over driver data.
+
+    repo = the document's source, path = doc/<id>.txt, commit = sha1 of
+    the content (deterministic), content = text.
+    """
+    import hashlib as _hl
+
+    import pyarrow as _pa
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def _map(t: _pa.Table) -> _pa.Table:
+        texts = t["text"].to_pylist()
+        return _pa.table({
+            "repo": t["source"],
+            "path": _pa.array([f"doc/{i}.txt" for i in t["doc_id"].to_pylist()],
+                              _pa.string()),
+            "commit": _pa.array(
+                [_hl.sha1(s.encode()).hexdigest() for s in texts],
+                _pa.string()),
+            "lang": t["lang"],
+            "content": t["text"],
+        })
+
+    return ds.map_batches(_map, batch_format="pyarrow")
+
+
 def generate_corpus(n_rows: int, n_repos: int | None = None, seed: int = SEED,
                     parallelism: int = -1) -> "ray.data.Dataset":
     """Distributed corpus generation: one row per (repo, path) key.

@@ -90,6 +90,18 @@ def _events_for_key(seed: int, repo: str, path: str, lang: str,
     return out
 
 
+def _repo_index(repo: str, n_repos: int) -> int:
+    """Zipf popularity rank of a repo: trailing digits when the synthetic
+    naming provides them, else a stable content hash (driver-derived
+    corpora name repos arbitrarily)."""
+    tail = repo.rsplit("repo", 1)[-1]
+    if tail.isdigit():
+        return int(tail)
+    import hashlib as _hl
+
+    return int(_hl.sha1(repo.encode()).hexdigest()[:8], 16) % max(1, n_repos)
+
+
 def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
                  n_repos: int, seed: int = SEED, hot_updates: int = 8,
                  update_p: float = 0.5) -> dict:
@@ -108,7 +120,7 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
         langs = batch["lang"].to_pylist()
         rows: list[dict] = []
         for repo, path, lang in zip(repos, paths, langs):
-            repo_idx = int(repo.split("repo", 1)[1])
+            repo_idx = _repo_index(repo, n_repos)
             rows.extend(_events_for_key(seed, repo, path, lang, repo_idx,
                                         n_repos, n_epochs, hot_updates,
                                         update_p))
