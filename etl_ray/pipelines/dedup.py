@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data
 from ray.data.aggregate import Min
 
 from etl_ray.pipelines._qutil import join_partitions, read
@@ -169,16 +170,40 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
                                batch_size=4096)
     pairs = triples.groupby(["band", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
-    # distinct candidate pairs (same pair can collide in several bands)
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
-
-    a = docs.rename_columns({"doc_id": "doc_a", "text": "text_a"})
-    b = docs.rename_columns({"doc_id": "doc_b", "text": "text_b"})
-    j = pairs.join(a, join_type="inner", num_partitions=join_partitions(),
-                   on=("doc_a",))
-    j = j.join(b, join_type="inner", num_partitions=join_partitions(),
-               on=("doc_b",))
+    # distinct candidate pairs (same pair can collide in several bands);
+    # the candidate set is ~linear in the true-dup count, so it is
+    # small enough to pull to the driver here
+    cand = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jacc_e4": pa.array([], pa.int64())})
+    if len(cand) <= 100_000:
+        # broadcast-verify fast path: fetch only the candidate docs
+        # (one filtered scan), pair texts driver-side — two distributed
+        # hash joins cost more than the whole candidate set is worth
+        need = set(cand.doc_a) | set(cand.doc_b)
+        need_ref = ray.put(need)
+        sub = docs.map_batches(
+            lambda t: t.filter(pa.array(
+                [i in ray.get(need_ref) for i in t["doc_id"].to_pylist()])),
+            batch_format="pyarrow").to_pandas()
+        text_of = dict(zip(sub.doc_id, sub.text))
+        j = pa.table({
+            "doc_a": pa.array(cand.doc_a.to_numpy(), pa.int64()),
+            "doc_b": pa.array(cand.doc_b.to_numpy(), pa.int64()),
+            "text_a": pa.array([text_of[i] for i in cand.doc_a], pa.string()),
+            "text_b": pa.array([text_of[i] for i in cand.doc_b], pa.string()),
+        })
+        j = ray.data.from_arrow(j)
+    else:  # scale path: ship texts to candidates via hash joins
+        pairs = ray.data.from_pandas(cand)
+        a = docs.rename_columns({"doc_id": "doc_a", "text": "text_a"})
+        b = docs.rename_columns({"doc_id": "doc_b", "text": "text_b"})
+        j = pairs.join(a, join_type="inner",
+                       num_partitions=join_partitions(), on=("doc_a",))
+        j = j.join(b, join_type="inner",
+                   num_partitions=join_partitions(), on=("doc_b",))
 
     def _verify(t: pa.Table) -> pa.Table:
         ha, na = _shingle_hashes(t.select(["text_a"]).rename_columns(["text"]))
