@@ -78,3 +78,23 @@ def fixed_point(t: pa.Table, col: str, scale: int) -> pa.Table:
                  round_mode="half_towards_infinity")
     return t.set_column(t.schema.get_field_index(col), col,
                         pc.cast(v, pa.int64()))
+
+
+def fixed_point_scalar(x: float, scale: int = 1) -> int:
+    """Driver-side scalar twin of :func:`fixed_point`.
+
+    Sign-aware half-away-from-zero (SQL ROUND semantics) — Python's
+    ``round()`` is banker's rounding and numpy's ``floor(x+0.5)`` is
+    half-up, both of which diverge from DuckDB on exact .5 values.
+    """
+    import math
+
+    return int(math.copysign(math.floor(abs(x) * scale + 0.5), x))
+
+
+def half_away_int64(x):
+    """Vectorized sign-aware half-away-from-zero → np.int64 array."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)

@@ -89,11 +89,15 @@ def window_running_sum(sf_dir: str):
     ds = read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def _cum(g: pd.DataFrame) -> pd.DataFrame:
+        from etl_ray.pipelines._qutil import half_away_int64
+
         g = g.sort_values(["ts", "event_id"])
         run = g["value"].cumsum()
+        # sign-aware half-away-from-zero = SQL ROUND (floor(x+0.5) would
+        # round negative halves the wrong way)
         return pd.DataFrame({
             "event_id": g["event_id"],
-            "run_c": np.floor(run * 100 + 0.5).astype(np.int64),
+            "run_c": half_away_int64(run.to_numpy() * 100),
         })
 
     return ds.groupby("user_id").map_groups(_cum, batch_format="pandas")
@@ -123,52 +127,72 @@ def agg_stats(sf_dir: str):
 # ------------------------------------------------------------------ set ops
 
 
-def _nk64(col: str):
+def _sided(ds, col: str, side: int):
+    """Project to (key:int64, side) — per-block distinct pre-reduce so
+    the shuffle moves one row per distinct (key, side) per block."""
     def _f(t: pa.Table) -> pa.Table:
-        return pa.table({"nationkey": pc.cast(t[col], pa.int64())})
-    return _f
+        k = pc.unique(pc.cast(t[col], pa.int64()).combine_chunks())
+        return pa.table({"key": k,
+                         "side": pa.array(np.full(len(k), side, np.int64))})
+    return ds.map_batches(_f, batch_format="pyarrow")
 
 
 @register(
-    "intersect_keys",
-    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
-       INTERSECT SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""",
+    "set_ops",
+    """SELECT 'intersect' AS tag, nationkey AS key FROM (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+           INTERSECT
+           SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+       UNION ALL
+       SELECT 'except' AS tag, key FROM (
+           SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+           EXCEPT
+           SELECT CAST(o_custkey AS BIGINT) AS key FROM orders
+           WHERE o_totalprice > 300000)""",
 )
-def intersect_keys(sf_dir: str):
-    """U2 intersect = distinct + semi join (keys cast to int64: the
-    groupby widens its key output, and pyarrow joins refuse mixed-width
-    keys)."""
-    cust = read(sf_dir, "customer", ["c_nationkey"]).map_batches(
-        _nk64("c_nationkey"), batch_format="pyarrow")
-    supp = read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
-        _nk64("s_nationkey"), batch_format="pyarrow")
-    dc = cust.groupby("nationkey").aggregate(Count(alias_name="_c")) \
-             .drop_columns(["_c"])
-    return dc.join(supp, join_type="left_semi",
-                   num_partitions=join_partitions(), on=("nationkey",))
+def set_ops(sf_dir: str):
+    """U2 intersect + except in one tagged result — as ONE shuffle each,
+    no join: tag every side's distinct keys with a side id, union, and
+    groupby(key) keeping min/max side. intersect = key seen on both
+    sides (min=0, max=1); except = key seen only on the left (max=0).
 
+    Deliberately join-free: a distinct+semi/anti-join formulation feeds
+    a groupby output into ray's hash-shuffle join, and when the distinct
+    key count is smaller than the partition fan-out the empty left
+    partitions trip an Arrow FieldRef error in the join finalize
+    (`ArrowInvalid: No match or multiple matches for key field
+    reference` — the round-1 intersect_keys failure at num_cpus=32).
+    The union+groupby shape is also the better 100-TB plan: one
+    all-to-all on pre-reduced (key, side) pairs instead of two.
+    """
+    from ray.data.aggregate import Max, Min
 
-@register(
-    "except_keys",
-    """SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
-       EXCEPT SELECT CAST(o_custkey AS BIGINT) AS key FROM orders
-       WHERE o_totalprice > 300000""",
-)
-def except_keys(sf_dir: str):
-    """U2 except = distinct + anti join (customers with no big-ticket
-    order — non-empty at every test sf)."""
-    cust = read(sf_dir, "customer", ["c_custkey"]).map_batches(
-        lambda t: pa.table({"key": pc.cast(t["c_custkey"], pa.int64())}),
-        batch_format="pyarrow")
+    def _one(a, b, tag: str, keep_max: int):
+        agg = a.union(b).groupby("key").aggregate(
+            Min("side", alias_name="smin"), Max("side", alias_name="smax"))
+
+        def _f(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(t["smin"], 0), pc.equal(t["smax"], keep_max))
+            k = t.filter(m)["key"]
+            return pa.table({
+                "tag": pa.array([tag] * len(k), pa.string()),
+                "key": k,
+            })
+
+        return agg.map_batches(_f, batch_format="pyarrow")
+
+    inter = _one(
+        _sided(read(sf_dir, "customer", ["c_nationkey"]), "c_nationkey", 0),
+        _sided(read(sf_dir, "supplier", ["s_nationkey"]), "s_nationkey", 1),
+        "intersect", keep_max=1)
     big = read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
-        lambda t: pa.table({"key": pc.cast(
-            t.filter(pc.greater(t["o_totalprice"], 300000))["o_custkey"],
-            pa.int64())}),
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000)),
         batch_format="pyarrow")
-    dc = cust.groupby("key").aggregate(Count(alias_name="_c")) \
-             .drop_columns(["_c"])
-    return dc.join(big, join_type="left_anti",
-                   num_partitions=join_partitions(), on=("key",))
+    exc = _one(
+        _sided(read(sf_dir, "customer", ["c_custkey"]), "c_custkey", 0),
+        _sided(big, "o_custkey", 1),
+        "except", keep_max=0)
+    return inter.union(exc)
 
 
 # ------------------------------------------------------ sampling / staging
@@ -200,15 +224,97 @@ def staging_roundtrip(sf_dir: str):
 
 
 @register(
-    "csv_roundtrip",
-    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    "file_roundtrip",
+    """SELECT 'csv' AS fmt, event_type, COUNT(*) AS n
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT 'json' AS fmt, event_type, COUNT(*) AS n
+       FROM events GROUP BY event_type""",
 )
-def csv_roundtrip(sf_dir: str):
-    """S6 aux readers: parquet → CSV staging → read_csv → aggregate."""
-    out = "/tmp/etl_ray_q/csv-" + hashlib.sha1(
-        sf_dir.encode()).hexdigest()[:10]
-    shutil.rmtree(out, ignore_errors=True)
+def file_roundtrip(sf_dir: str):
+    """S6 aux readers: parquet → CSV and JSONL staging → read_csv /
+    read_json → aggregate, tagged per format. The oracle checks both
+    round-trips lost nothing."""
+    h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     ds = read(sf_dir, "events", ["event_id", "event_type"])
-    ds.write_csv(out)
-    back = ray.data.read_csv(out)
-    return back.groupby("event_type").aggregate(Count(alias_name="n"))
+    outs = {}
+    for fmt in ("csv", "json"):
+        out = f"/tmp/etl_ray_q/{fmt}-{h}"
+        shutil.rmtree(out, ignore_errors=True)
+        outs[fmt] = out
+    ds.write_csv(outs["csv"])
+    ds.write_json(outs["json"])
+
+    def _tag(fmt: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column("fmt", pa.array([fmt] * len(t), pa.string()))
+        return _f
+
+    parts = []
+    for fmt, reader in (("csv", ray.data.read_csv),
+                        ("json", ray.data.read_json)):
+        agg = (reader(outs[fmt]).groupby("event_type")
+               .aggregate(Count(alias_name="n"))
+               .map_batches(_tag(fmt), batch_format="pyarrow"))
+        parts.append(agg)
+    return parts[0].union(parts[1])
+
+
+def _hist_quantile(vals, cnts, q: float) -> float:
+    """Exact continuous quantile from a (value, count) histogram —
+    DuckDB quantile_cont semantics: position (n-1)·q, linear
+    interpolation between the two straddling order statistics."""
+    n = int(cnts.sum())
+    pos = (n - 1) * q
+    lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+    cum = np.cumsum(cnts)
+    v_lo = vals[np.searchsorted(cum, lo, side="right")]
+    v_hi = vals[np.searchsorted(cum, hi, side="right")]
+    return float(v_lo + (pos - lo) * (v_hi - v_lo))
+
+
+@register(
+    "agg_quantile",
+    """SELECT l_returnflag,
+              CAST(ROUND(quantile_cont(l_quantity, 0.25) * 10000) AS BIGINT)
+                  AS p25_e4,
+              CAST(ROUND(quantile_cont(l_quantity, 0.50) * 10000) AS BIGINT)
+                  AS p50_e4,
+              CAST(ROUND(quantile_cont(l_quantity, 0.75) * 10000) AS BIGINT)
+                  AS p75_e4
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def agg_quantile(sf_dir: str):
+    """G2 grouped quantiles, the 100-TB-safe way: values are
+    bounded-cardinality, so each block pre-aggregates a (key, value,
+    count) histogram, the shuffle moves histograms (not raw rows), and
+    the exact interpolated quantile is computed from the tiny merged
+    histogram. For unbounded-cardinality values this becomes a t-digest
+    merge with the same pipeline shape."""
+    from ray.data.aggregate import Sum
+
+    from etl_ray.pipelines._qutil import fixed_point_scalar
+
+    ds = read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [("l_quantity", "count")])
+        return pa.table({"l_returnflag": g["l_returnflag"],
+                         "l_quantity": g["l_quantity"],
+                         "n": pc.cast(g["l_quantity_count"], pa.int64())})
+
+    hist = (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_quantity"])
+            .aggregate(Sum("n", alias_name="n")))
+    df = hist.to_pandas()  # tiny: flags × distinct quantity values
+    rows = []
+    for flag, g in df.groupby("l_returnflag"):
+        g = g.sort_values("l_quantity")
+        vals = g["l_quantity"].to_numpy(dtype=np.float64)
+        cnts = g["n"].to_numpy(dtype=np.int64)
+        row = {"l_returnflag": flag}
+        for q, name in ((0.25, "p25_e4"), (0.50, "p50_e4"), (0.75, "p75_e4")):
+            row[name] = fixed_point_scalar(_hist_quantile(vals, cnts, q), 10000)
+        rows.append(row)
+    return pa.Table.from_pylist(rows)

@@ -145,12 +145,25 @@ def minhash_triples(t: pa.Table) -> pa.Table:
     })
 
 
+# A (band, bucket) group larger than this emits STAR pairs (min-id hub
+# ↔ every other member, O(n)) instead of all pairs (O(n²)). Web-scale
+# corpora have boilerplate mega-buckets with millions of near-identical
+# docs; all-pairs there is quadratic death, while star pairs keep every
+# member connected to a representative, which is what dedup (connected
+# components → keep one) needs. Detection of ALL >τ pairs inside a
+# mega-bucket is explicitly traded away above the cap.
+BUCKET_CAP = 1024
+
+
 def _bucket_pairs(g: pa.Table) -> pa.Table:
-    """Candidate pairs within one (band, bucket) group."""
+    """Candidate pairs within one (band, bucket) group (capped)."""
     ids = np.unique(g["doc_id"].to_numpy())
     if len(ids) < 2:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
+    if len(ids) > BUCKET_CAP:  # mega-bucket: star pairs, O(n)
+        return pa.table({"doc_a": pa.array(np.full(len(ids) - 1, ids[0])),
+                         "doc_b": pa.array(ids[1:])})
     ia, ib = np.triu_indices(len(ids), 1)
     return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
 
@@ -159,35 +172,46 @@ def _bucket_pairs(g: pa.Table) -> pa.Table:
 def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup detection, verified with exact Jaccard.
 
-    shingle→minhash→band (actor pool) → groupby(band,bucket) → pairs →
-    distinct pairs → join texts back → exact 3-shingle Jaccard filter.
-    Returns (doc_a, doc_b, jacc_e4). The verify join ships only
-    candidate-pair rows — at scale the candidate set is ~linear in the
-    true-dup count, not quadratic.
+    shingle→minhash→band → groupby(band,bucket) → capped per-bucket
+    pairs → DISTRIBUTED pair dedup (groupby on the pair key — the same
+    pair collides in several bands) → join texts back → exact 3-shingle
+    Jaccard filter. Returns (doc_a, doc_b, jacc_e4).
+
+    Driver footprint: only the deduped candidate-pair COUNT decides the
+    verify strategy; below the broadcast cap the (small) pair list is
+    pulled once, above it everything stays distributed (two hash joins).
     """
     docs = read(sf_dir, "documents", ["doc_id", "text"])
     triples = docs.map_batches(minhash_triples, batch_format="pyarrow",
                                batch_size=4096)
     pairs = triples.groupby(["band", "bucket"]).map_groups(
         _bucket_pairs, batch_format="pyarrow")
-    # distinct candidate pairs (same pair can collide in several bands);
-    # the candidate set is ~linear in the true-dup count, so it is
-    # small enough to pull to the driver here
-    cand = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    if len(cand) == 0:
+    # distinct candidate pairs, distributed (never a driver-side
+    # drop_duplicates): shuffle key is the pair itself
+    cand_ds = (pairs.groupby(["doc_a", "doc_b"])
+               .aggregate(Min("doc_a", alias_name="_m"))
+               .drop_columns(["_m"]).materialize())  # small: ~linear in dup count
+    n_cand = cand_ds.count()
+    if n_cand == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jacc_e4": pa.array([], pa.int64())})
-    if len(cand) <= 100_000:
+    if n_cand <= 100_000:
         # broadcast-verify fast path: fetch only the candidate docs
-        # (one filtered scan), pair texts driver-side — two distributed
-        # hash joins cost more than the whole candidate set is worth
-        need = set(cand.doc_a) | set(cand.doc_b)
-        need_ref = ray.put(need)
-        sub = docs.map_batches(
-            lambda t: t.filter(pa.array(
-                [i in ray.get(need_ref) for i in t["doc_id"].to_pylist()])),
-            batch_format="pyarrow").to_pandas()
+        # (one filtered scan, vectorized pc.is_in), pair texts driver-
+        # side — two distributed hash joins cost more than the whole
+        # candidate set is worth
+        cand = cand_ds.to_pandas()
+        need_ref = ray.put(pa.array(
+            np.unique(np.concatenate([cand.doc_a.to_numpy(),
+                                      cand.doc_b.to_numpy()])), pa.int64()))
+
+        def _filter_needed(t: pa.Table) -> pa.Table:
+            need = ray.get(need_ref)  # fetched once per batch, zero-copy
+            return t.filter(pc.is_in(t["doc_id"], value_set=need))
+
+        sub = docs.map_batches(_filter_needed,
+                               batch_format="pyarrow").to_pandas()
         text_of = dict(zip(sub.doc_id, sub.text))
         j = pa.table({
             "doc_a": pa.array(cand.doc_a.to_numpy(), pa.int64()),
@@ -197,13 +221,18 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
         })
         j = ray.data.from_arrow(j)
     else:  # scale path: ship texts to candidates via hash joins
-        pairs = ray.data.from_pandas(cand)
-        a = docs.rename_columns({"doc_id": "doc_a", "text": "text_a"})
-        b = docs.rename_columns({"doc_id": "doc_b", "text": "text_b"})
-        j = pairs.join(a, join_type="inner",
-                       num_partitions=join_partitions(), on=("doc_a",))
+        # right-side keys renamed (ka/kb) + right_on: identical key
+        # names with a groupby-fed left side trip an Arrow FieldRef
+        # ambiguity in ray's hash-shuffle join finalize at ≥16 partitions
+        a = docs.rename_columns({"doc_id": "ka", "text": "text_a"})
+        b = docs.rename_columns({"doc_id": "kb", "text": "text_b"})
+        j = cand_ds.join(a, join_type="inner",
+                         num_partitions=join_partitions(),
+                         on=("doc_a",), right_on=("ka",))
         j = j.join(b, join_type="inner",
-                   num_partitions=join_partitions(), on=("doc_b",))
+                   num_partitions=join_partitions(),
+                   on=("doc_b",), right_on=("kb",))
+        j = j.select_columns(["doc_a", "doc_b", "text_a", "text_b"])
 
     def _verify(t: pa.Table) -> pa.Table:
         ha, na = _shingle_hashes(t.select(["text_a"]).rename_columns(["text"]))
@@ -226,30 +255,37 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     return j.map_batches(_verify, batch_format="pyarrow")
 
 
-@register("dedup_simhash")
-def dedup_simhash(sf_dir: str):
-    """64-bit SimHash per document (deterministic, rows-only oracle).
+_SIM_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
+    """64-bit SimHash per document (T3, deterministic).
 
     Bit i of the hash is the sign of the sum over tokens of ±1 at bit i
     of the token hash — vectorized as a (tokens × 64) popcount-free
-    matrix fold per batch.
+    matrix fold per batch. Returns a uint64 array.
     """
+    toks = pc.split_pattern(t[text_col], " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    lengths = pc.list_value_length(toks).to_numpy()
+    flat = pd.util.hash_array(
+        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
+        categorize=False)
+    seg = np.arange(len(t)).repeat(lengths)
+    # ±1 per bit per token, summed per doc
+    signs = (((flat[:, None] >> _SIM_BITS) & np.uint64(1)).astype(np.int32) * 2 - 1)
+    acc = np.zeros((len(t), 64), dtype=np.int64)
+    np.add.at(acc, seg, signs)
+    return ((acc > 0).astype(np.uint64) << _SIM_BITS).sum(axis=1)
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash signatures + 16-bit LSH band per document (unregistered —
+    gate-checked via text_signals, which emits the same columns)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    bits = np.arange(64, dtype=np.uint64)
 
     def _f(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
-        lengths = pc.list_value_length(toks).to_numpy()
-        flat = pd.util.hash_array(
-            np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
-            categorize=False)
-        seg = np.arange(len(t)).repeat(lengths)
-        # ±1 per bit per token, summed per doc
-        signs = (((flat[:, None] >> bits) & np.uint64(1)).astype(np.int32) * 2 - 1)
-        acc = np.zeros((len(t), 64), dtype=np.int64)
-        np.add.at(acc, seg, signs)
-        sim = ((acc > 0).astype(np.uint64) << bits).sum(axis=1)
+        sim = simhash_batch(t)
         return pa.table({
             "doc_id": t["doc_id"],
             "simhash": pa.array([f"{v:016x}" for v in sim], pa.string()),

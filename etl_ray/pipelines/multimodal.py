@@ -14,6 +14,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
@@ -114,7 +115,6 @@ class FrameSampler:
         })
 
 
-@register("multimodal_frame_sample")
 def multimodal_frame_sample(sf_dir: str):
     """Video-column pipeline: attach fake video payloads, explode every
     8th frame via an actor pool. Rows-only oracle (deterministic count:
@@ -131,7 +131,6 @@ def multimodal_frame_sample(sf_dir: str):
                                 batch_size=128, concurrency=2)
 
 
-@register("multimodal_decode")
 def multimodal_decode(sf_dir: str):
     """Binary-column pipeline: attach fake payloads, decode via actor
     pool, emit typed metadata. Rows-only oracle (decode is a stub)."""
@@ -147,3 +146,54 @@ def multimodal_decode(sf_dir: str):
     with_img = ds.map_batches(_attach, batch_format="pyarrow")
     return with_img.map_batches(FakeImageDecoder, batch_format="pyarrow",
                                 batch_size=256, concurrency=2)
+
+
+class _DecoderKeepVideo(FakeImageDecoder):
+    """Image decode that passes the video payload column through."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return super().__call__(t).append_column("video", t["video"])
+
+
+class _FrameSamplerKeepMeta(FrameSampler):
+    """Frame sampler that carries per-doc image metadata onto every
+    emitted frame row (vectorized index_in + take against the batch's
+    own doc rows)."""
+
+    META_COLS = ("width", "height", "channels", "n_bytes")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        frames = super().__call__(t.select(["doc_id", "video"]))
+        keys = t["doc_id"].combine_chunks()
+        idx = pc.index_in(frames["doc_id"], value_set=keys)
+        for c in self.META_COLS:
+            frames = frames.append_column(c, pc.take(t[c].combine_chunks(), idx))
+        return frames
+
+
+@register("multimodal_pipeline")
+def multimodal_pipeline(sf_dir: str):
+    """End-to-end multimodal pipeline (T12): attach image + video binary
+    payloads, decode image metadata (actor pool, STUB kernel), then
+    explode sampled frames with the metadata carried per frame — the
+    layout a caption/embedding stage downstream would consume.
+    Rows-only oracle (deterministic frame count)."""
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        imgs = [encode_fake_image(i, s)
+                for i, s in zip(ids, t["text"].to_pylist())]
+        vids = [encode_fake_video(i) for i in ids]
+        return pa.table({"doc_id": t["doc_id"],
+                         "image": pa.array(imgs, pa.binary()),
+                         "video": pa.array(vids, pa.binary())})
+
+    withm = ds.map_batches(_attach, batch_format="pyarrow")
+    # fractional num_cpus: two chained actor pools at full-CPU
+    # reservations starve the read/attach tasks on small sessions
+    # (4-CPU pytest fixture) — the pools are I/O-light stub decoders
+    dec = withm.map_batches(_DecoderKeepVideo, batch_format="pyarrow",
+                            batch_size=128, concurrency=2, num_cpus=0.5)
+    return dec.map_batches(_FrameSamplerKeepMeta, batch_format="pyarrow",
+                           batch_size=128, concurrency=2, num_cpus=0.5)

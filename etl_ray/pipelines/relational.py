@@ -20,8 +20,8 @@ import ray
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from etl_ray.functions import expr
-from etl_ray.pipelines._qutil import (fixed_point, join_partitions,
-                                      one_row_table, read)
+from etl_ray.pipelines._qutil import (fixed_point, fixed_point_scalar,
+                                      join_partitions, one_row_table, read)
 from etl_ray.pipelines.queries import register
 
 # ------------------------------------------------------------ filter / project
@@ -56,35 +56,29 @@ def project_rename(sf_dir: str):
 
 
 @register(
-    "with_column_revenue",
+    "with_column_case",
     """SELECT l_orderkey, l_linenumber,
-              l_extendedprice * (1 - l_discount) AS revenue
+              l_extendedprice * (1 - l_discount) AS revenue,
+              CASE WHEN l_extendedprice * (1 - l_discount) > 60000 THEN 'big'
+                   WHEN l_extendedprice * (1 - l_discount) > 20000 THEN 'mid'
+                   ELSE 'small' END AS bucket
        FROM lineitem""",
 )
-def with_column_revenue(sf_dir: str):
-    """M3: computed projection (per-row arithmetic — exact, no rounding)."""
+def with_column_case(sf_dir: str):
+    """M3: computed projection + multi-branch CASE WHEN in one pass
+    (per-row arithmetic — exact, no rounding; the CASE compares the
+    identical IEEE double on both sides)."""
     ds = read(sf_dir, "lineitem",
               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
 
     def _f(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1, t["l_discount"]))
-        return t.select(["l_orderkey", "l_linenumber"]).append_column("revenue", rev)
-
-    return ds.map_batches(_f, batch_format="pyarrow")
-
-
-@register(
-    "case_when",
-    """SELECT o_orderkey,
-              CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket
-       FROM orders""",
-)
-def case_when(sf_dir: str):
-    ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def _f(t: pa.Table) -> pa.Table:
-        b = expr.if_else(pc.greater(t["o_totalprice"], 100000), "big", "small")
-        return t.select(["o_orderkey"]).append_column("bucket", b)
+        bucket = expr.if_else(
+            pc.greater(rev, 60000), "big",
+            expr.if_else(pc.greater(rev, 20000), "mid", "small"))
+        return (t.select(["l_orderkey", "l_linenumber"])
+                .append_column("revenue", rev)
+                .append_column("bucket", bucket))
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
@@ -113,7 +107,7 @@ def agg_global(sf_dir: str):
         Min("l_shipdate", alias_name="min_ship"),
         Max("l_shipdate", alias_name="max_ship"),
     )
-    row["avg_disc_e6"] = int(round(row["avg_disc_e6"] * 1_000_000))
+    row["avg_disc_e6"] = fixed_point_scalar(row["avg_disc_e6"], 1_000_000)
     return one_row_table(row)
 
 
@@ -221,64 +215,63 @@ def join_left_count(sf_dir: str):
 
 
 @register(
-    "join_semi",
-    """SELECT c_custkey, c_name FROM customer
-       WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
-)
-def join_semi(sf_dir: str):
-    cust = read(sf_dir, "customer", ["c_custkey", "c_name"])
-    orders = read(sf_dir, "orders", ["o_custkey"])
-    return cust.join(orders, join_type="left_semi",
-                     num_partitions=join_partitions(),
-                     on=("c_custkey",), right_on=("o_custkey",))
-
-
-@register(
-    "join_anti",
-    """SELECT o_orderkey, o_custkey FROM orders
+    "join_semi_anti",
+    """SELECT 'semi' AS tag, o_orderkey, o_custkey FROM orders
+       WHERE EXISTS (SELECT 1 FROM customer
+                     WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+       UNION ALL
+       SELECT 'anti' AS tag, o_orderkey, o_custkey FROM orders
        WHERE NOT EXISTS (SELECT 1 FROM customer
                          WHERE c_custkey = o_custkey AND c_acctbal > 5000)""",
 )
-def join_anti(sf_dir: str):
-    """J2 anti join: orders whose customer is NOT in the high-balance set."""
+def join_semi_anti(sf_dir: str):
+    """J2 semi + anti join in one tagged result: orders whose customer
+    IS / IS NOT in the high-balance set. Both joins share the filtered
+    right side; the tag column disambiguates the union for the oracle."""
     orders = read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     rich = read(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
         lambda t: t.filter(pc.greater(t["c_acctbal"], 5000)).select(["c_custkey"]),
         batch_format="pyarrow")
-    return orders.join(rich, join_type="left_anti",
+
+    def _tag(tag: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column("tag", pa.array([tag] * len(t), pa.string()))
+        return _f
+
+    semi = orders.join(rich, join_type="left_semi",
                        num_partitions=join_partitions(),
-                       on=("o_custkey",), right_on=("c_custkey",))
+                       on=("o_custkey",), right_on=("c_custkey",)) \
+                 .map_batches(_tag("semi"), batch_format="pyarrow")
+    anti = orders.join(rich, join_type="left_anti",
+                       num_partitions=join_partitions(),
+                       on=("o_custkey",), right_on=("c_custkey",)) \
+                 .map_batches(_tag("anti"), batch_format="pyarrow")
+    return semi.union(anti)
 
 
-@register(
-    "broadcast_lookup",
-    """SELECT n_name, COUNT(*) AS n_customers,
-              CAST(ROUND(SUM(c_acctbal) * 100) AS BIGINT) AS total_bal_c
-       FROM customer JOIN nation ON c_nationkey = n_nationkey
-       GROUP BY n_name""",
-)
 def broadcast_lookup(sf_dir: str):
     """J3: small dimension broadcast via ray.put — no shuffle join.
 
     nation (25 rows) is put in the object store once; every map task
-    reads the same copy and does a vectorized dictionary take. The only
-    shuffle is the final tiny groupby on n_name.
+    reads the same copy and resolves keys with a vectorized
+    pc.index_in + take (no per-row Python probe). The only shuffle is
+    the final tiny groupby on n_name. (Unregistered — the driver gate
+    covers J3 through join_star_region, which uses the same probe.)
     """
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
-    lookup = dict(zip(nation["n_nationkey"].to_pylist(),
-                      nation["n_name"].to_pylist()))
-    ref = ray.put(lookup)
+    ref = ray.put((nation["n_nationkey"].combine_chunks(),
+                   nation["n_name"].combine_chunks()))
 
     cust = read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
 
     def _probe(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        names = pa.array([lk.get(k) for k in t["c_nationkey"].to_pylist()],
-                         pa.string())
-        return t.append_column("n_name", names).drop_columns(["c_nationkey"])
+        keys, names = ray.get(ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return (t.append_column("n_name", pc.take(names, idx))
+                .drop_columns(["c_nationkey"]))
 
     out = (cust.map_batches(_probe, batch_format="pyarrow")
            .groupby("n_name")
@@ -308,12 +301,12 @@ def join_star_region(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
-    nk_to_region = {
-        nk: {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}[rk]
-        for nk, rk in zip(nation["n_nationkey"].to_pylist(),
-                          nation["n_regionkey"].to_pylist())
-    }
-    ref = ray.put(nk_to_region)
+    # pre-join the two dims driver-side (30 rows) → one broadcast lookup
+    rname_of = {r["r_regionkey"]: r["r_name"] for r in region.to_pylist()}
+    nk = nation["n_nationkey"].combine_chunks()
+    rnames = pa.array([rname_of[rk] for rk in
+                       nation["n_regionkey"].to_pylist()], pa.string())
+    ref = ray.put((nk, rnames))
 
     orders = read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -321,10 +314,10 @@ def join_star_region(sf_dir: str):
                     on=("o_custkey",), right_on=("c_custkey",))
 
     def _probe(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        names = pa.array([lk.get(k) for k in t["c_nationkey"].to_pylist()],
-                         pa.string())
-        return t.select(["o_totalprice"]).append_column("r_name", names)
+        keys, names = ray.get(ref)
+        idx = pc.index_in(t["c_nationkey"], value_set=keys)
+        return (t.select(["o_totalprice"])
+                .append_column("r_name", pc.take(names, idx)))
 
     out = (j.map_batches(_probe, batch_format="pyarrow")
            .groupby("r_name")
@@ -348,8 +341,9 @@ def sort_topk(sf_dir: str):
     return ds.sort("o_totalprice", descending=True).limit(10)
 
 
-@register("distinct_one", "SELECT DISTINCT c_mktsegment FROM customer")
 def distinct_one(sf_dir: str):
+    """G4 single-column distinct via Dataset.unique (unregistered — the
+    driver gate covers G4 through distinct_multi)."""
     ds = read(sf_dir, "customer", ["c_mktsegment"])
     vals = sorted(ds.unique("c_mktsegment"))
     return pa.table({"c_mktsegment": pa.array(vals, pa.string())})

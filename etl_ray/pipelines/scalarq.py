@@ -25,10 +25,13 @@ from etl_ray.util import sha256_hex_array
     """SELECT p_partkey, upper(p_name) AS uname, lower(p_brand) AS lbrand,
               CAST(length(p_name) AS BIGINT) AS name_len,
               substr(p_type, 1, 4) AS type4,
-              concat(p_brand, ':', p_type) AS brand_type
+              concat(p_brand, ':', p_type) AS brand_type,
+              p_name LIKE '%gear%' AS has_gear,
+              p_type LIKE 'SM%' AS is_sm
        FROM part""",
 )
 def string_funcs(sf_dir: str):
+    """§2.8 strings incl. SQL LIKE (%, _ wildcards) as boolean columns."""
     ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
 
     def _f(t: pa.Table) -> pa.Table:
@@ -39,23 +42,9 @@ def string_funcs(sf_dir: str):
             "name_len": pc.cast(expr.length(t["p_name"]), pa.int64()),
             "type4": expr.substr(t["p_type"], 1, 4),
             "brand_type": expr.concat(t["p_brand"], t["p_type"], sep=":"),
+            "has_gear": expr.like(t["p_name"], "%gear%"),
+            "is_sm": expr.like(t["p_type"], "SM%"),
         })
-
-    return ds.map_batches(_f, batch_format="pyarrow")
-
-
-@register(
-    "like_filter",
-    """SELECT p_partkey, p_name, p_type FROM part
-       WHERE p_name LIKE '%gear%' AND p_type LIKE 'SM%'""",
-)
-def like_filter(sf_dir: str):
-    ds = read(sf_dir, "part", ["p_partkey", "p_name", "p_type"])
-
-    def _f(t: pa.Table) -> pa.Table:
-        mask = pc.and_(expr.like(t["p_name"], "%gear%"),
-                       expr.like(t["p_type"], "SM%"))
-        return t.filter(mask)
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
@@ -184,14 +173,9 @@ def json_extract(sf_dir: str):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-@register(
-    "json_agg",
-    """SELECT event_type,
-              CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                   AS BIGINT) AS sum_k
-       FROM events GROUP BY event_type""",
-)
 def json_agg(sf_dir: str):
+    """M6 extraction feeding a grouped aggregate (unregistered — the
+    driver gate covers M6 through json_extract's per-row check)."""
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "events", ["event_type", "props"])
@@ -246,16 +230,12 @@ def explode_tokens(sf_dir: str):
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
-@register(
-    "token_histogram",
-    """SELECT token, COUNT(*) AS n FROM (
-           SELECT unnest(string_split(text, ' ')) AS token FROM documents
-       ) GROUP BY token HAVING COUNT(*) >= 100""",
-)
 def token_histogram(sf_dir: str):
     """Explode → grouped count with a partial pre-aggregate per batch
     (the 100-TB-safe shape: the shuffle moves one row per distinct token
-    per batch, not one row per token occurrence)."""
+    per batch, not one row per token occurrence). Unregistered — the
+    gate covers M8 via explode_tokens and heavy hitters via
+    topk_frequent_tokens; bench.py still times this pipeline."""
     from ray.data.aggregate import Sum
 
     ds = read(sf_dir, "documents", ["text"])

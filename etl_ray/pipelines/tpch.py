@@ -9,7 +9,8 @@ import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Sum
 
-from etl_ray.pipelines._qutil import fixed_point, join_partitions, read
+from etl_ray.pipelines._qutil import (fixed_point, fixed_point_scalar,
+                                      join_partitions, read)
 from etl_ray.pipelines.queries import register
 
 
@@ -50,7 +51,8 @@ def q6_forecast_revenue(sf_dir: str):
     out = ds.map_batches(_f, batch_format="pyarrow").aggregate(
         Sum("revenue_c", alias_name="revenue_c"), Count(alias_name="n"))
     return pa.table({
-        "revenue_c": pa.array([int(round(out["revenue_c"] * 100))], pa.int64()),
+        "revenue_c": pa.array([fixed_point_scalar(out["revenue_c"], 100)],
+                              pa.int64()),
         "n": pa.array([out["n"]], pa.int64()),
     })
 

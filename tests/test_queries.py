@@ -98,7 +98,7 @@ def test_minhash_finds_true_neardups(registry):
 
 def test_simhash_close_for_neardups(registry):
     queries, _ = registry
-    sims = _to_pandas(queries["dedup_simhash"](SF_DIR))
+    sims = _to_pandas(queries["text_signals"](SF_DIR))
     near = _to_pandas(queries["dedup_minhash"](SF_DIR))
     if len(near) == 0:
         pytest.skip("no near-dups at this sf")
@@ -125,10 +125,10 @@ def test_ann_ivf_recall(registry):
 
 
 def test_multimodal_decode_roundtrip(registry):
-    from etl_ray.pipelines.multimodal import encode_fake_image
+    from etl_ray.pipelines.multimodal import (encode_fake_image,
+                                              multimodal_decode)
 
-    queries, _ = registry
-    out = _to_pandas(queries["multimodal_decode"](SF_DIR)).set_index("doc_id")
+    out = _to_pandas(multimodal_decode(SF_DIR)).set_index("doc_id")
     # header fields survive the actor-pool decode
     for doc_id in list(out.index)[:20]:
         w = 16 + (doc_id * 7) % 48
@@ -142,10 +142,11 @@ def test_multimodal_frame_sampling(registry):
     from etl_ray.pipelines.multimodal import FRAME_BYTES
 
     queries, _ = registry
-    out = _to_pandas(queries["multimodal_frame_sample"](SF_DIR))
-    # every sampled frame has the fixed frame payload size and the
-    # per-doc count matches ceil(n_frames / stride)
+    out = _to_pandas(queries["multimodal_pipeline"](SF_DIR))
+    # every sampled frame has the fixed frame payload size, carries the
+    # image metadata, and the per-doc count matches ceil(n_frames/stride)
     assert (out["frame"].map(len) == FRAME_BYTES).all()
+    assert {"width", "height", "channels", "n_bytes"} <= set(out.columns)
     per_doc = out.groupby("doc_id").size()
     for doc_id, n in list(per_doc.items())[:20]:
         n_frames = 8 + (doc_id * 5) % 56
@@ -162,7 +163,7 @@ def test_multimodal_rejects_non_fake_payload():
 
 def test_lang_id_prefers_code_markers(registry):
     queries, _ = registry
-    out = _to_pandas(queries["lang_id"](SF_DIR))
+    out = _to_pandas(queries["text_signals"](SF_DIR))
     assert set(out.lang_pred) <= {"en", "code"}
     assert (out.score_e4 >= 0).all()
 
@@ -181,6 +182,26 @@ def test_hll_within_error_bound(registry, oracle_con):
 
 def test_fingerprint_stable(registry):
     queries, _ = registry
-    a = _to_pandas(queries["fingerprint"](SF_DIR)).sort_values("doc_id")
-    b = _to_pandas(queries["fingerprint"](SF_DIR)).sort_values("doc_id")
+    a = _to_pandas(queries["text_signals"](SF_DIR)).sort_values("doc_id")
+    b = _to_pandas(queries["text_signals"](SF_DIR)).sort_values("doc_id")
     assert (a.fp.to_numpy() == b.fp.to_numpy()).all()
+    assert (a.simhash.to_numpy() == b.simhash.to_numpy()).all()
+
+
+def test_minhash_megabucket_bounded():
+    """A degenerate bucket (many identical docs) must emit O(n) star
+    pairs, not O(n²) all-pairs — the 100-TB boilerplate-bucket guard."""
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_ray.pipelines.dedup import BUCKET_CAP, _bucket_pairs
+
+    n = BUCKET_CAP + 500
+    g = pa.table({"band": pa.array(np.zeros(n, np.int32)),
+                  "bucket": pa.array(np.zeros(n, np.int64)),
+                  "doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = _bucket_pairs(g)
+    assert len(out) == n - 1  # star, not n*(n-1)/2
+    # every doc stays connected to the hub representative
+    assert set(out["doc_b"].to_pylist()) == set(range(1, n))
+    assert set(out["doc_a"].to_pylist()) == {0}

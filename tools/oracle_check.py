@@ -45,9 +45,14 @@ def main() -> int:
 
     import ray
 
+    import os
+
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
-                 logging_level="ERROR")
+        # default 32 mirrors the driver gate — the round-1 intersect_keys
+        # bug only fired at 16 join partitions, invisible at num_cpus=8
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("ORACLE_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
