@@ -53,21 +53,6 @@ DEFAULT_WINDOW = 8
 BUCKET_SPAN = 8
 
 
-def _lake_mode(lake_dir: str) -> str | None:
-    """Detect the ingest mode of an existing lake from its manifests.
-
-    Direct-mode manifests key watermarks by bucket, sorted-mode by pid —
-    a resumed replay must keep the original mode or the broadcast hwm
-    index would be misinterpreted.
-    """
-    last = mf.last_committed(lake_dir)
-    if last < 0:
-        return None
-    for entry in mf.read_manifest(lake_dir, last)["partitions"].values():
-        return "direct" if "files" in entry else "sorted"
-    return None
-
-
 def epoch_schema(wal_dir: str, epoch: int):
     """Incoming payload schema for an epoch, read from Parquet footers."""
     return payload_schema(pads.dataset(f"{wal_dir}/epoch={epoch}").schema)
@@ -108,10 +93,10 @@ def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
     fencing). A window-unified schema keeps all delta files of the
     window mutually compatible.
     """
-    epochs = [k for k in epochs if k > mf.last_committed(lake_dir)]
+    epochs = [k for k in epochs if k > mf.last_wal_epoch(lake_dir)]
     if not epochs:
         return []
-    mode = _lake_mode(lake_dir) or mode  # a resumed lake keeps its mode
+    mode = mf.lake_mode(lake_dir) or mode  # a resumed lake keeps its mode
     current = mf.current_schema(lake_dir)
     unified = current
     for k in epochs:
@@ -174,7 +159,9 @@ def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
             partitions = {int(r["pid"]): {c: v for c, v in r.items()
                                           if c not in ("pid", "epoch")}
                           for r in results[k]}
-        mf.commit_epoch(lake_dir, k, unified, partitions, num_partitions)
+        mf.commit_epoch(lake_dir, k, unified, partitions, num_partitions,
+                        mode=mode,
+                        num_buckets=num_buckets if mode == "direct" else None)
         summaries.append({
             "epoch": k,
             "n_events": sum(e["n_events"] for e in partitions.values()),
@@ -188,7 +175,7 @@ def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
 def apply_epoch(wal_dir: str, lake_dir: str, epoch: int, num_partitions: int,
                 concurrency=None, mode: str = "direct") -> dict:
     """Apply one WAL epoch to the lake; returns the epoch's lineage summary."""
-    if epoch <= mf.last_committed(lake_dir):
+    if epoch <= mf.last_wal_epoch(lake_dir):
         # already committed — replaying it is a no-op (exactly-once)
         return {"epoch": epoch, "n_events": 0, "n_rows": 0, "n_quarantined": 0,
                 "skipped": True}
@@ -196,24 +183,36 @@ def apply_epoch(wal_dir: str, lake_dir: str, epoch: int, num_partitions: int,
                         concurrency, mode=mode)[0]
 
 
+# live fragments per bucket before the replay loop schedules a
+# compaction (direct mode): bounds a long-running lake's read
+# amplification. Sized so steady-state reads merge O(threshold) files
+# while compaction (a full resolve+rewrite) stays rare relative to
+# epoch ingest — tune DOWN for read-heavy lakes.
+AUTO_COMPACT_FRAGMENTS = 512
+
+
 def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
            concurrency=None, stop_after: int | None = None,
-           window: int = DEFAULT_WINDOW, mode: str = "direct") -> dict:
+           window: int = DEFAULT_WINDOW, mode: str = "direct",
+           auto_compact: int | None = AUTO_COMPACT_FRAGMENTS) -> dict:
     """Replay the WAL into the lake, resuming from the committed checkpoint.
 
     ``stop_after=k`` simulates a crash after k epochs (for resume tests).
-    Returns a summary with events/sec over the epochs actually applied.
+    ``auto_compact`` schedules a compaction whenever any partition key's
+    live data-file count exceeds it (None disables). Returns a summary
+    with events/sec over the epochs actually applied.
     """
     os.makedirs(lake_dir, exist_ok=True)
-    last = mf.last_committed(lake_dir)
-    if last >= 0:
+    last_man = mf.last_manifest(lake_dir)
+    if last_man is not None:
         # a resumed replay must keep the original partitioning: partition
         # ownership (pid routing + high-watermarks) is defined by P
-        num_partitions = mf.read_manifest(lake_dir, last)["num_partitions"]
-    start = last + 1
+        num_partitions = last_man["num_partitions"]
+    start = mf.last_wal_epoch(lake_dir) + 1
     end = n_epochs if stop_after is None else min(n_epochs, start + stop_after)
     t0 = time.perf_counter()
     total_events = 0
+    n_compactions = 0
     applied = []
     for w0 in range(start, end, window):
         tw = time.perf_counter()
@@ -224,6 +223,13 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
             s["window_wall_s"] = dw
             total_events += s["n_events"]
             applied.append(s)
+        if auto_compact:
+            counts = mf.live_file_counts(lake_dir)
+            if counts and max(counts.values()) > auto_compact:
+                from etl_ray.state.lake import compact
+
+                compact(lake_dir)
+                n_compactions += 1
     wall = time.perf_counter() - t0
     lineage_mod.write_lineage(lake_dir)
     return {
@@ -232,5 +238,6 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
         "n_events": total_events,
         "wall_s": wall,
         "events_per_s": total_events / wall if wall > 0 else 0.0,
+        "n_compactions": n_compactions,
         "summaries": applied,
     }

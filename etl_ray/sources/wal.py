@@ -10,12 +10,17 @@ order. ``lsn`` is the ordering authority — strictly increasing per key,
 globally unique; block/file order is never relied on.
 
 Generation is deterministic (seed) and distributed: per corpus key, a
-lifecycle ``I → Geometric(p=0.5) updates (× Zipf(1.3) hot-repo
-multiplier) → D w.p. 0.15`` is produced inside ``map_batches``; each
-event draws a uniform priority ``u`` (sorted per key so commit order
-holds) and the global interleave is ``lsn = f(u)`` — monotone in u, so
-epochs are simply ``epoch = floor(u * E)``: equal-ish-sized contiguous
-lsn ranges with no global sort or sequential pass.
+lifecycle ``I → Geometric(p) updates (× Zipf(1.3) hot-repo
+multiplier) → D w.p. 0.15`` is synthesized FULLY VECTORIZED inside
+``map_batches`` — every random draw is a splitmix64 hash of
+``(key_hash, draw_index)``, so the event set is a pure function of the
+key and independent of batch partitioning. Each event draws a uniform
+priority ``u`` (sorted per key so commit order holds) and the global
+interleave is ``lsn = f(u)`` — monotone in u, so epochs are simply
+``epoch = floor(u * E)``: equal-ish-sized contiguous lsn ranges with no
+global sort or sequential pass. Each task writes its events straight
+into ``epoch=K/`` partition files (single streaming pass — no
+materialize + per-epoch filter re-scans, no object-store residency).
 
 Schema evolution (BASELINE.json:6,14 "add-column/type-widen"): epochs
 ``>= E//2`` add ``stars:int64`` and widen ``size:int32 → int64``.
@@ -23,83 +28,144 @@ Schema evolution (BASELINE.json:6,14 "add-column/type-widen"): epochs
 
 from __future__ import annotations
 
+import hashlib
+import os
 import random
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
 
-from etl_ray.sources.corpus import SEED, make_commit, make_content
+from etl_ray.sources.corpus import _VOCAB, SEED
+from etl_ray.util import hash64_str
 
 DELETE_P = 0.15
 ZIPF_A = 1.3
 WAL_COLS = ["lsn", "epoch", "op", "repo", "path", "commit", "lang", "content", "size"]
 
-
-def _priority_to_lsn(u: float, tiebreak: int) -> int:
-    # monotone in u; 2048-way tiebreak keeps lsns unique even if two keys
-    # draw floats that truncate to the same 52-bit integer.
-    return (int(u * (1 << 52)) << 11) | (tiebreak & 0x7FF)
-
-
-def _events_for_key(seed: int, repo: str, path: str, lang: str,
-                    repo_idx: int, n_repos: int, n_epochs: int,
-                    hot_updates: int, update_p: float = 0.5) -> list[dict]:
-    rng = random.Random(f"{seed}:wal:{repo}:{path}")
-    # geometric(update_p) update count + Zipf-weighted hot-repo extras;
-    # update_p tunes churn: 0.5 → ~1 update/key (insert-heavy), 0.85 →
-    # ~5.7 (update-heavy, the realistic CDC regime where LWW reduction
-    # actually compacts)
-    n_upd = 0
-    while rng.random() < update_p:
-        n_upd += 1
-    zipf_w = (repo_idx + 1) ** -ZIPF_A  # rank-based Zipf popularity
-    n_upd += int(hot_updates * zipf_w)
-    deleted = rng.random() < DELETE_P
-
-    n_events = 1 + n_upd + (1 if deleted else 0)
-    prios = sorted(rng.random() for _ in range(n_events))
-    tb = rng.randrange(1 << 11)
-    out = []
-    for k in range(n_events):
-        version = k + 1
-        is_delete = deleted and k == n_events - 1
-        u = prios[k]
-        epoch = min(n_epochs - 1, int(u * n_epochs))
-        ev = {
-            "lsn": _priority_to_lsn(u, tb),
-            "epoch": epoch,
-            "op": "D" if is_delete else ("I" if k == 0 else "U"),
-            "repo": repo,
-            "path": path,
-        }
-        if is_delete:
-            ev.update(commit=None, lang=None, content=None, size=None, stars=None)
-        else:
-            content = make_content(seed, repo, path, version)
-            ev.update(
-                commit=make_commit(seed, repo, path, version),
-                lang=lang,
-                content=content,
-                size=len(content),
-                stars=len(content) * 7 % 1000,  # deterministic toy metadata
-            )
-        out.append(ev)
-    return out
+_C_UPD = np.uint64(0x9E3779B97F4A7C15)
+_C_DEL = np.uint64(0xC2B2AE3D27D4EB4F)
+_C_TB = np.uint64(0x165667B19E3779F9)
+_C_PRIO = np.uint64(0x27D4EB2F165667C5)
 
 
-def _repo_index(repo: str, n_repos: int) -> int:
-    """Zipf popularity rank of a repo: trailing digits when the synthetic
-    naming provides them, else a stable content hash (driver-derived
-    corpora name repos arbitrarily)."""
-    tail = repo.rsplit("repo", 1)[-1]
-    if tail.isdigit():
-        return int(tail)
-    import hashlib as _hl
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping mults)."""
+    x = np.asarray(x, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
 
-    return int(_hl.sha1(repo.encode()).hexdigest()[:8], 16) % max(1, n_repos)
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    """uint64 hash → uniform float64 in [0, 1)."""
+    return (x >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+
+
+_CONTENT_BLOB: list[str] = []  # one per worker process
+_BLOB_TOKENS = 200_000
+_MAX_CONTENT = 4096
+
+
+def _content_blob() -> str:
+    if not _CONTENT_BLOB:
+        rng = random.Random(f"{SEED}:blob")
+        _CONTENT_BLOB.append(" ".join(rng.choices(_VOCAB, k=_BLOB_TOKENS)))
+    return _CONTENT_BLOB[0]
+
+
+def _synth_events(batch: pa.Table, n_repos: int, n_epochs: int, seed: int,
+                  hot_updates: int, update_p: float) -> pa.Table:
+    """Vectorized per-key lifecycle synthesis (module docstring)."""
+    B = len(batch)
+    repos = pd.Series(batch["repo"].to_pandas())
+    kh = hash64_str(pc.binary_join_element_wise(
+        batch["repo"].combine_chunks(), batch["path"].combine_chunks(), "\x00"))
+    kh = kh ^ np.uint64(seed)
+
+    # geometric(update_p) update count: N = floor(ln(U) / ln(p))
+    u_upd = np.maximum(_unit(_mix64(kh ^ _C_UPD)), 1e-300)
+    n_upd = np.floor(np.log(u_upd) / np.log(update_p)).astype(np.int64) \
+        if update_p > 0 else np.zeros(B, np.int64)
+    n_upd = np.minimum(n_upd, 512)  # tail clamp, same support as before
+    # Zipf-weighted hot-repo extras (rank = trailing repo digits, else hash)
+    idx_s = repos.str.rsplit("repo", n=1).str[-1]
+    num = pd.to_numeric(idx_s, errors="coerce")
+    fallback = (kh % np.uint64(max(1, n_repos))).astype(np.float64)
+    repo_idx = np.where(num.isna(), fallback, num.fillna(0).to_numpy())
+    n_upd = n_upd + (hot_updates * (repo_idx + 1.0) ** -ZIPF_A).astype(np.int64)
+    deleted = _unit(_mix64(kh ^ _C_DEL)) < DELETE_P
+
+    n_events = 1 + n_upd + deleted.astype(np.int64)
+    total = int(n_events.sum())
+    offsets = np.concatenate([[0], np.cumsum(n_events)])
+    key_row = np.repeat(np.arange(B), n_events)
+    within = np.arange(total) - offsets[key_row]
+
+    # per-event uniform priority, sorted within key = commit order
+    prio = _unit(_mix64(kh[key_row] ^ _mix64(
+        within.astype(np.uint64) + _C_PRIO)))
+    order = np.lexsort((prio, key_row))
+    prio = prio[order]  # key_row/within unchanged: lexsort keeps key grouping
+
+    tb = _mix64(kh ^ _C_TB) & np.uint64(0x7FF)
+    lsn = ((prio * float(1 << 52)).astype(np.uint64) << np.uint64(11)) \
+        | tb[key_row]
+    epoch = np.minimum(n_epochs - 1, (prio * n_epochs).astype(np.int64))
+
+    is_ins = within == 0
+    is_del = deleted[key_row] & (within == n_events[key_row] - 1)
+    op = np.where(is_del, "D", np.where(is_ins, "I", "U")).astype(object)
+    version = within + 1
+
+    # after-images (nulls for deletes). content = deterministic slice of
+    # a shared vocab blob — O(1) per row, no per-row RNG stream
+    blob = _content_blob()
+    blob_span = len(blob) - _MAX_CONTENT - 1
+    ch = _mix64(kh[key_row] ^ _mix64(version.astype(np.uint64)))
+    off = (ch % np.uint64(blob_span)).astype(np.int64)
+    ln = (64 + (ch >> np.uint64(32)) % np.uint64(_MAX_CONTENT - 64)) \
+        .astype(np.int64)
+    live = ~is_del
+    contents: list[str | None] = [None] * total
+    commits: list[str | None] = [None] * total
+    repo_l = repos.to_numpy()
+    path_l = batch["path"].to_numpy(zero_copy_only=False)
+    lang_l = batch["lang"].to_numpy(zero_copy_only=False)
+    sha1 = hashlib.sha1
+    for i in np.flatnonzero(live):
+        contents[i] = blob[off[i]:off[i] + ln[i]]
+        k = key_row[i]
+        commits[i] = sha1(
+            f"{seed}:{repo_l[k]}:{path_l[k]}:{version[i]}".encode()).hexdigest()
+    size = np.where(live, ln, 0)
+    stars = size * 7 % 1000
+
+    return pa.table({
+        "lsn": pa.array(lsn.astype(np.int64)),
+        "epoch": pa.array(epoch.astype(np.int32)),
+        "op": pa.array(op, pa.string()),
+        "repo": pa.array(repo_l[key_row], pa.string()),
+        "path": pa.array(path_l[key_row], pa.string()),
+        "commit": pa.array(commits, pa.string()),
+        "lang": pa.array(np.where(live, lang_l[key_row], None), pa.string()),
+        "content": pa.array(contents, pa.string()),
+        "size": pa.array(np.where(live, size, None), pa.int64()),
+        "stars": pa.array(np.where(live, stars, None), pa.int64()),
+    })
+
+
+def _epoch_table(t: pa.Table, pre_evolution: bool) -> pa.Table:
+    if not pre_evolution:
+        return t
+    # pre-evolution schema: no stars column, size is int32
+    return t.drop_columns(["stars"]).set_column(
+        t.schema.get_field_index("size"), "size", t["size"].cast(pa.int32()))
 
 
 def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
@@ -109,42 +175,54 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
 
     Writes ``wal_dir/epoch=K/part-*.parquet`` per epoch with the
     epoch-appropriate schema (size:int32, no stars before E//2;
-    size:int64 + stars:int64 after). Returns ``{"n_events": int,
-    "n_epochs": int}``.
+    size:int64 + stars:int64 after), in ONE streaming pass: each map
+    task synthesizes its keys' events vectorized, splits them by epoch,
+    and writes the partition files itself (content-addressed names →
+    idempotent under task retry). Returns ``{"n_events", "n_epochs"}``.
     """
     evolve_from = n_epochs // 2
 
-    def _gen(batch: pa.Table) -> pa.Table:
-        repos = batch["repo"].to_pylist()
-        paths = batch["path"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        rows: list[dict] = []
-        for repo, path, lang in zip(repos, paths, langs):
-            repo_idx = _repo_index(repo, n_repos)
-            rows.extend(_events_for_key(seed, repo, path, lang, repo_idx,
-                                        n_repos, n_epochs, hot_updates,
-                                        update_p))
-        cols = ["lsn", "epoch", "op", "repo", "path", "commit", "lang",
-                "content", "size", "stars"]
-        return pa.table(
-            {c: pa.array([r[c] for r in rows],
-                         type={"lsn": pa.int64(), "epoch": pa.int32(),
-                               "size": pa.int64(), "stars": pa.int64()}.get(c, pa.string()))
-             for c in cols})
+    def _gen_write(batch: pa.Table) -> pa.Table:
+        ev = _synth_events(batch, n_repos, n_epochs, seed, hot_updates,
+                           update_p)
+        ev = ev.sort_by([("epoch", "ascending"), ("lsn", "ascending")])
+        eps = ev["epoch"].to_numpy()
+        bounds = (np.flatnonzero(np.diff(eps)) + 1).tolist()
+        out_e, out_n = [], []
+        for s, e in zip([0] + bounds, bounds + [len(ev)]):
+            part = ev.slice(s, e - s)
+            k = int(eps[s])
+            part = _epoch_table(part, k < evolve_from)
+            lsns = part["lsn"]
+            digest = hashlib.sha1(
+                f"{k}:{len(part)}:{lsns[0]}:{lsns[-1]}".encode()
+            ).hexdigest()[:12]
+            d = os.path.join(wal_dir, f"epoch={k}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{digest}.parquet")
+            if not os.path.exists(path):
+                tmp = f"{path}.tmp.{os.getpid()}"
+                pq.write_table(part, tmp, compression="zstd")
+                os.replace(tmp, path)
+            out_e.append(k)
+            out_n.append(len(part))
+        return pa.table({"epoch": pa.array(out_e, pa.int32()),
+                         "n": pa.array(out_n, pa.int64())})
 
-    events = corpus.map_batches(_gen, batch_format="pyarrow").materialize()
-    n_events = events.count()
-
+    counts = corpus.map_batches(_gen_write, batch_format="pyarrow").take_all()
+    n_events = int(sum(r["n"] for r in counts))
+    # guard: an epoch no task hit still needs a (schema-correct) file
     for k in range(n_epochs):
-        ep = events.filter(expr=f"epoch == {k}")
-        if k < evolve_from:
-            # pre-evolution schema: no stars column, size is int32
-            ep = ep.map_batches(
-                lambda t: t.drop_columns(["stars"]).set_column(
-                    t.schema.get_field_index("size"), "size",
-                    t["size"].cast(pa.int32())),
-                batch_format="pyarrow")
-        ep.write_parquet(f"{wal_dir}/epoch={k}")
+        d = os.path.join(wal_dir, f"epoch={k}")
+        if not os.path.isdir(d) or not os.listdir(d):
+            os.makedirs(d, exist_ok=True)
+            empty = _epoch_table(
+                _synth_events(pa.table({"repo": pa.array([], pa.string()),
+                                        "path": pa.array([], pa.string()),
+                                        "lang": pa.array([], pa.string())}),
+                              n_repos, n_epochs, seed, hot_updates, update_p),
+                k < evolve_from)
+            pq.write_table(empty, os.path.join(d, "part-empty.parquet"))
     return {"n_events": n_events, "n_epochs": n_epochs}
 
 

@@ -45,16 +45,25 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     ``columns`` prunes the payload at the Parquet read — only the
     requested columns plus the merge metadata (key, lsn, op, sha) leave
     storage, so a 2-column scan of a wide lake doesn't ship `content`.
+    Unknown column names raise KeyError up front (a typo otherwise
+    surfaces as an opaque Arrow read error); schema-evolution gaps
+    (a column absent from pre-evolution delta files) are backfilled as
+    nulls by passing the unified schema to the scan.
     """
     files = mf.committed_files(lake_dir)
     schema = mf.current_schema(lake_dir)
     if not files or schema is None:
         return ray.data.from_arrow(
             pa.Table.from_pylist([], schema=schema or pa.schema([])))
-    last = mf.read_manifest(lake_dir, mf.last_committed(lake_dir))
+    last = mf.last_manifest(lake_dir)
     P = num_partitions or last["num_partitions"]
 
     if columns is not None:
+        unknown = set(columns) - set(schema.names)
+        if unknown:
+            raise KeyError(
+                f"unknown lake columns {sorted(unknown)}; "
+                f"schema has {schema.names}")
         schema = pa.schema([f for f in schema
                             if f.name in set(columns) | set(KEY_COLS)])
     full = pa.schema(list(schema) + [pa.field("lsn", pa.int64()),
@@ -67,7 +76,16 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
 
     read_cols = None if columns is None else list(
         dict.fromkeys([*KEY_COLS, *columns, "lsn", "op", "content_sha256"]))
-    ds = ray.data.read_parquet(files, columns=read_cols)
+    # passing the unified schema (projected to the read columns) makes
+    # the scan evolution-safe: delta files written before an add-column
+    # gain the column as nulls instead of failing the projection
+    by_name = {f.name: f for f in mf.current_schema(lake_dir)}
+    by_name.update({"lsn": pa.field("lsn", pa.int64()),
+                    "op": pa.field("op", pa.string()),
+                    "content_sha256": pa.field("content_sha256", pa.string())})
+    read_schema = pa.schema([by_name[c] for c in
+                             (read_cols if read_cols is not None else by_name)])
+    ds = ray.data.read_parquet(files, columns=read_cols, schema=read_schema)
     ds = ds.map_batches(_conform, batch_format="pyarrow")
     out = ds.groupby("upid").map_groups(_resolve_group, batch_format="pyarrow")
     if not keep_sha:
@@ -76,68 +94,93 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
 
 
 def compact(lake_dir: str) -> int:
-    """Rewrite the lake to one resolved base delta per partition.
+    """Rewrite the lake to one resolved base file per partition key.
 
-    Appends a synthetic epoch whose manifest carries ``base: true`` —
-    readers then ignore all earlier epochs (mf.committed_files). Returns
-    the number of live rows in the compacted base.
+    Commits a BASE manifest — readers then ignore all earlier manifests
+    (mf.committed_files) — that PRESERVES the lake's ingest keying: a
+    direct-mode lake's base is keyed (and its files partitioned) by
+    BUCKET, a sorted-mode lake's by pid, so a resumed replay keeps its
+    mode and ``high_watermarks`` stays one consistent keying. Base rows
+    carry lsn=0 / op="I" (any later event out-lives them under LWW) and
+    n_events=0 (they are rewrites, not new WAL events — lineage event
+    sums stay equal to the WAL count). Returns the live-row count.
     """
-    last = mf.last_committed(lake_dir)
-    if last < 0:
-        return 0
-    schema = mf.current_schema(lake_dir)
-    man = mf.read_manifest(lake_dir, last)
-    P = man["num_partitions"]
-    resolved = read_lake(lake_dir)
-
     import os
 
-    from etl_ray.state.merge import MergeApplier  # reuse the delta writer
-    import ray as _ray
-
-    epoch = last + 1
+    man = mf.last_manifest(lake_dir)
+    if man is None:
+        return 0
+    schema = mf.current_schema(lake_dir)
+    P = man["num_partitions"]
+    mode = mf.lake_mode(lake_dir) or "sorted"
+    num_buckets = man.get("num_buckets")
+    seq = mf.last_committed(lake_dir) + 1
+    schema_b64 = schema_mod.to_b64(schema)
 
     def _write_base(group: pa.Table) -> pa.Table:
-        # re-attach merge metadata: compacted rows all carry their own lsn?
-        # lsn/op were dropped by read_lake; a base file needs a per-row lsn
-        # for future LWW — use 0 so any later event wins, with op="I".
-        g = group
-        g = g.append_column("lsn", pa.nulls(len(g), pa.int64()).fill_null(0))
+        schema_l = schema_mod.from_b64(schema_b64)
+        key = int(group["_bkey"][0].as_py())
+        g = group.drop_columns(["_bkey"])
+        g = schema_mod.conform(
+            g.drop_columns([c for c in g.column_names
+                            if c not in schema_l.names
+                            and c != "content_sha256"]), schema_l)
+        g = g.append_column("lsn", pa.array(np.zeros(len(g), np.int64)))
         g = g.append_column("op", pa.array(["I"] * len(g), pa.string()))
-        g = g.append_column("epoch", pa.array([epoch] * len(g), pa.int32()))
-        g = g.append_column("audit_ok", pa.array([True] * len(g)))
-        applier = MergeApplier(lake_dir, epoch, schema_mod.to_b64(schema), None)
-        return applier(g)
+        g = g.append_column("content_sha256", group["content_sha256"])
+        checksum = 0
+        for sh in g["content_sha256"].to_pylist():
+            if sh is not None:
+                checksum ^= int(sh[:16], 16)
+        sub = f"bucket={key}" if mode == "direct" else f"pid={key}"
+        rel = os.path.join(mf.DATA_DIR, sub, f"base-{seq}.parquet")
+        path = os.path.join(lake_dir, rel)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        from etl_ray.state.merge import _atomic_write
 
-    prep = resolved.map_batches(
-        lambda t: add_pid_column(t, KEY_COLS, P), batch_format="pyarrow")
-    entries = prep.groupby("pid").map_groups(_write_base, batch_format="pyarrow")
+        _atomic_write(g, path)
+        return pa.table({
+            "pid": pa.array([key], pa.int32()),
+            "files": pa.array([[rel]], pa.list_(pa.string())),
+            "lsn_min": pa.array([0], pa.int64()),
+            "lsn_max": pa.array([0], pa.int64()),
+            "n_events": pa.array([0], pa.int64()),
+            "n_upserts": pa.array([0], pa.int64()),
+            "n_deletes": pa.array([0], pa.int64()),
+            "n_rows": pa.array([len(g)], pa.int64()),
+            "n_quarantined": pa.array([0], pa.int64()),
+            "checksum": pa.array([f"{checksum:016x}"], pa.string()),
+            "hwm": pa.array([-1], pa.int64()),
+        })
+
+    def _bkey(t: pa.Table) -> pa.Table:
+        t = add_pid_column(t, KEY_COLS, P, pid_col="_bkey")
+        if mode == "direct" and num_buckets:
+            b = (t["_bkey"].to_numpy().astype(np.int64)
+                 * num_buckets // P).astype(np.int32)
+            t = t.set_column(t.schema.get_field_index("_bkey"), "_bkey",
+                             pa.array(b, pa.int32()))
+        return t
+
+    resolved = read_lake(lake_dir)
+    entries = (resolved.map_batches(_bkey, batch_format="pyarrow")
+               .groupby("_bkey").map_groups(_write_base,
+                                            batch_format="pyarrow"))
     rows = entries.take_all()
-    partitions = {int(r["pid"]): {k: r[k] for k in r if k != "pid"} for r in rows}
+    partitions = {int(r["pid"]): {k: r[k] for k in r if k != "pid"}
+                  for r in rows}
     n_live = sum(e["n_rows"] for e in partitions.values())
     # carry forward high-watermarks so resume-after-compact still fences
     hwm = mf.high_watermarks(lake_dir)
     for p, e in partitions.items():
         e["hwm"] = max(e["hwm"], hwm.get(p, -1))
-    doc_partitions = partitions
-    _commit_base(lake_dir, epoch, schema, doc_partitions, P)
+    # keys that became empty (all rows deleted) still need their hwm
+    for p, w in hwm.items():
+        if p not in partitions:
+            partitions[p] = {
+                "files": [], "lsn_min": -1, "lsn_max": -1, "n_events": 0,
+                "n_upserts": 0, "n_deletes": 0, "n_rows": 0,
+                "n_quarantined": 0, "checksum": "0" * 16, "hwm": w,
+            }
+    mf.commit_base(lake_dir, schema, partitions, P, mode, num_buckets)
     return int(n_live)
-
-
-def _commit_base(lake_dir, epoch, schema, partitions, P):
-    import json
-    import os
-    import tempfile
-
-    doc = {
-        "epoch": epoch,
-        "num_partitions": P,
-        "base": True,
-        "schema_b64": schema_mod.to_b64(schema),
-        "partitions": {str(p): e for p, e in sorted(partitions.items())},
-    }
-    d = os.path.join(lake_dir, mf.MANIFEST_DIR)
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump(doc, f)
-    os.replace(tmp, mf.manifest_path(lake_dir, epoch))

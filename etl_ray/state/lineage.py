@@ -21,10 +21,15 @@ LINEAGE_COLS = ["epoch", "pid", "file", "lsn_min", "lsn_max", "n_events",
 
 def lineage_table(lake_dir: str) -> pa.Table:
     rows = []
-    for ep in mf.committed_epochs(lake_dir):
-        man = mf.read_manifest(lake_dir, ep)
+    for seq in mf.committed_epochs(lake_dir):
+        man = mf.read_manifest(lake_dir, seq)
+        base = bool(man.get("base"))
         for pid_s, e in man["partitions"].items():
-            rows.append({"epoch": ep, "pid": int(pid_s), **e})
+            # base manifests are rewrites, not ingests: n_events is 0 by
+            # construction, and the `base` flag lets metrics consumers
+            # separate compaction I/O from WAL ingest
+            rows.append({"epoch": man.get("epoch", seq), "seq": seq,
+                         "base": base, "pid": int(pid_s), **e})
     if not rows:
         return pa.Table.from_pylist([], schema=pa.schema(
             [("epoch", pa.int64()), ("pid", pa.int64())]))

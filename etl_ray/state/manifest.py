@@ -6,16 +6,24 @@ PAPERS.md):
 
     lake_dir/
       data/pid=<p>/epoch=<k>.parquet    delta files (written first, phase 1)
-      _manifests/epoch=<k>.json         commit records (phase 2, atomic)
+      _manifests/epoch=<n>.json         commit records (phase 2, atomic)
 
-A manifest records, per partition: the delta file, lsn offset range,
+A manifest records, per partition: the delta file(s), lsn offset range,
 row/upsert/delete counts, a checksum (xor of row content-sha256
 prefixes) and the partition's new lsn high-watermark — the lineage
 record mandated by BASELINE.json:6. The commit is a single
 ``os.replace`` of a temp file → atomic on POSIX.
 
+Manifest SEQUENCE (the ``epoch=<n>`` in the filename) is decoupled from
+the WAL epoch a manifest commits: WAL commits and compaction BASE
+manifests share one monotonic log, and every doc carries ``epoch`` (the
+WAL epoch it covers — a base carries the last WAL epoch forward) plus
+``mode`` (ingest keying: "sorted" pid-keyed / "direct" bucket-keyed)
+and, for direct mode, ``num_buckets``. Resume therefore reads
+``last_wal_epoch``, never the raw sequence.
+
 Fencing rules:
-  * epochs commit in strictly increasing order (monotonic epoch fence);
+  * WAL epochs commit in strictly increasing order (monotonic fence);
   * committing an epoch <= the last committed one is a no-op (idempotent
     replay) — never a rewrite;
   * a data file for an uncommitted epoch is invisible to readers (they
@@ -65,25 +73,55 @@ def committed_epochs(lake_dir: str) -> list[int]:
 
 
 def last_committed(lake_dir: str) -> int:
+    """Last committed manifest SEQUENCE number (not the WAL epoch)."""
     eps = committed_epochs(lake_dir)
     return eps[-1] if eps else -1
 
 
-def read_manifest(lake_dir: str, epoch: int) -> dict:
-    with open(manifest_path(lake_dir, epoch)) as f:
+def read_manifest(lake_dir: str, seq: int) -> dict:
+    with open(manifest_path(lake_dir, seq)) as f:
         return json.load(f)
+
+
+def last_manifest(lake_dir: str) -> dict | None:
+    last = last_committed(lake_dir)
+    return None if last < 0 else read_manifest(lake_dir, last)
+
+
+def last_wal_epoch(lake_dir: str) -> int:
+    """The last WAL epoch applied to the lake (bases carry it forward).
+    This — not the manifest sequence — is the replay resume point."""
+    man = last_manifest(lake_dir)
+    return -1 if man is None else man.get("epoch", -1)
+
+
+def lake_mode(lake_dir: str) -> str | None:
+    """Ingest keying of the lake: "direct" (bucket-keyed fragments) or
+    "sorted" (pid-keyed deltas). Reads the recorded ``mode`` field,
+    walking back past manifests that predate it or committed an empty
+    epoch; falls back to inspecting a partition entry's file key shape.
+    A resumed replay must keep the original mode or the broadcast hwm
+    index would be misinterpreted."""
+    for seq in reversed(committed_epochs(lake_dir)):
+        man = read_manifest(lake_dir, seq)
+        if man.get("mode"):
+            return man["mode"]
+        for entry in man["partitions"].values():
+            return "direct" if "files" in entry else "sorted"
+    return None
 
 
 def current_schema(lake_dir: str) -> pa.Schema | None:
     """The unified schema as of the last committed epoch."""
-    last = last_committed(lake_dir)
-    if last < 0:
-        return None
-    return schema_mod.from_b64(read_manifest(lake_dir, last)["schema_b64"])
+    man = last_manifest(lake_dir)
+    return None if man is None else schema_mod.from_b64(man["schema_b64"])
 
 
 def high_watermarks(lake_dir: str) -> dict[int, int]:
-    """pid → max committed lsn across all committed epochs (A3 dedup index)."""
+    """partition-key → max committed lsn across all committed manifests
+    (A3 dedup index). Keys are pids in sorted mode, buckets in direct
+    mode — consistent across bases because compaction preserves the
+    lake's keying."""
     hwm: dict[int, int] = {}
     for ep in committed_epochs(lake_dir):
         for pid_s, entry in read_manifest(lake_dir, ep)["partitions"].items():
@@ -92,34 +130,85 @@ def high_watermarks(lake_dir: str) -> dict[int, int]:
     return hwm
 
 
-def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
-                 partitions: dict[int, dict], num_partitions: int) -> bool:
-    """Phase-2 commit. Returns True if committed, False if already was.
+def live_file_counts(lake_dir: str) -> dict[int, int]:
+    """partition-key → number of data files a reader must merge (files
+    committed since the last base, plus the base itself) — the
+    read-amplification signal that schedules compaction."""
+    epochs = committed_epochs(lake_dir)
+    manifests = [read_manifest(lake_dir, ep) for ep in epochs]
+    start = 0
+    for i, m in enumerate(manifests):
+        if m.get("base"):
+            start = i
+    counts: dict[int, int] = {}
+    for m in manifests[start:]:
+        for pid_s, entry in m["partitions"].items():
+            n = len(entry.get("files") if "files" in entry
+                    else ([entry["file"]] if entry["n_rows"] > 0 else []))
+            if n:
+                pid = int(pid_s)
+                counts[pid] = counts.get(pid, 0) + n
+    return counts
 
-    Raises EpochFencingError on out-of-order commits (epoch gaps or a
-    stale writer racing ahead of the log).
-    """
-    last = last_committed(lake_dir)
-    if epoch <= last:
-        return False  # idempotent replay of an already-committed epoch
-    if epoch != last + 1:
-        raise EpochFencingError(
-            f"cannot commit epoch {epoch}: last committed is {last} "
-            "(epochs are fenced to commit monotonically, no gaps)")
+
+def _write_doc(lake_dir: str, seq: int, doc: dict) -> None:
     os.makedirs(_mdir(lake_dir), exist_ok=True)
-    doc = {
-        "epoch": epoch,
-        "num_partitions": num_partitions,
-        "schema_b64": schema_mod.to_b64(schema),
-        "partitions": {str(p): e for p, e in sorted(partitions.items())},
-    }
     fd, tmp = tempfile.mkstemp(dir=_mdir(lake_dir), suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(doc, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, manifest_path(lake_dir, epoch))  # atomic commit point
+    os.replace(tmp, manifest_path(lake_dir, seq))  # atomic commit point
+
+
+def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
+                 partitions: dict[int, dict], num_partitions: int,
+                 mode: str = "sorted", num_buckets: int | None = None) -> bool:
+    """Phase-2 commit of one WAL epoch. Returns True if committed,
+    False if it already was.
+
+    Raises EpochFencingError on out-of-order commits (epoch gaps or a
+    stale writer racing ahead of the log).
+    """
+    last_wal = last_wal_epoch(lake_dir)
+    if epoch <= last_wal:
+        return False  # idempotent replay of an already-committed epoch
+    if epoch != last_wal + 1:
+        raise EpochFencingError(
+            f"cannot commit epoch {epoch}: last committed is {last_wal} "
+            "(epochs are fenced to commit monotonically, no gaps)")
+    doc = {
+        "epoch": epoch,
+        "num_partitions": num_partitions,
+        "mode": mode,
+        "schema_b64": schema_mod.to_b64(schema),
+        "partitions": {str(p): e for p, e in sorted(partitions.items())},
+    }
+    if num_buckets is not None:
+        doc["num_buckets"] = num_buckets
+    _write_doc(lake_dir, last_committed(lake_dir) + 1, doc)
     return True
+
+
+def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
+                num_partitions: int, mode: str,
+                num_buckets: int | None = None) -> int:
+    """Commit a compaction BASE manifest: replaces all earlier manifests
+    for readers, carries the last WAL epoch (and the lake's keying mode)
+    forward so resume and fencing are unaffected. Returns its sequence."""
+    seq = last_committed(lake_dir) + 1
+    doc = {
+        "epoch": last_wal_epoch(lake_dir),
+        "num_partitions": num_partitions,
+        "mode": mode,
+        "base": True,
+        "schema_b64": schema_mod.to_b64(schema),
+        "partitions": {str(p): e for p, e in sorted(partitions.items())},
+    }
+    if num_buckets is not None:
+        doc["num_buckets"] = num_buckets
+    _write_doc(lake_dir, seq, doc)
+    return seq
 
 
 def committed_files(lake_dir: str) -> list[str]:

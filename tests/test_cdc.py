@@ -123,13 +123,65 @@ def test_direct_and_sorted_modes_converge_identically(wal_dir, ref_state,
 def test_resumed_lake_keeps_its_mode(wal_dir, tmp_path):
     """A lake started in sorted mode must resume in sorted mode (the
     manifest watermark index is keyed differently per mode)."""
-    from etl_ray.pipelines.cdc import _lake_mode
     lake = str(tmp_path / "lake")
     replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2,
            mode="sorted")
-    assert _lake_mode(lake) == "sorted"
+    assert mf.lake_mode(lake) == "sorted"
     replay(wal_dir, lake, N_EPOCHS, num_partitions=P, mode="direct")
-    assert _lake_mode(lake) == "sorted"  # direct request was overridden
+    assert mf.lake_mode(lake) == "sorted"  # direct request was overridden
+
+
+def test_compaction_preserves_mode_and_resume(wal_dir, ref_state, tmp_path):
+    """Compacting a direct-mode lake mid-stream must keep the lake in
+    direct mode (bucket-keyed watermarks) and replay must resume from
+    the correct WAL epoch past the base manifest."""
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2,
+           mode="direct")
+    compact(lake)
+    assert mf.lake_mode(lake) == "direct"
+    assert mf.last_wal_epoch(lake) == 1  # base carries the WAL epoch forward
+    s = replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    assert s["first_epoch"] == 2
+    assert lake_shas(lake) == ref_shas(ref_state)
+
+
+def test_auto_compact_bounds_file_count(tmp_path):
+    """Over 12 churning epochs with a tight auto-compact threshold, the
+    live data-file count a reader must merge stays bounded instead of
+    growing linearly with epochs."""
+    d = str(tmp_path / "wal12")
+    corpus = generate_corpus(120, n_repos=8)
+    generate_wal(corpus, d, n_epochs=12, n_repos=8, update_p=0.8)
+    lake = str(tmp_path / "lake12")
+    s = replay(d, lake, 12, num_partitions=P, window=2, auto_compact=4)
+    assert s["n_compactions"] >= 2
+    counts = mf.live_file_counts(lake)
+    # bound: one base + at most (threshold + one window's writes) deltas
+    assert max(counts.values()) <= 4 + 2 * P + 1
+    # and the lake still converges to the reference interpreter
+    ref = reference_replay(d, 12)
+    assert lake_shas(lake) == sorted(
+        hashlib.sha256(v["content"].encode()).hexdigest()
+        for v in ref.values())
+
+
+def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
+    """Column-pruned read_lake must work for a column ADDED mid-stream
+    (absent from pre-evolution delta files → backfilled null), and an
+    unknown column must raise KeyError up front, not an Arrow error."""
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    t = read_lake(lake, columns=["stars", "size"]).to_pandas()
+    full = read_lake(lake).to_pandas()
+    assert len(t) == len(full)
+    assert set(t.columns) == {"repo", "path", "stars", "size",
+                              "content_sha256"}
+    got = t.sort_values(["repo", "path"]).stars.fillna(-1).tolist()
+    want = full.sort_values(["repo", "path"]).stars.fillna(-1).tolist()
+    assert got == want
+    with pytest.raises(KeyError):
+        read_lake(lake, columns=["no_such_column"])
 
 
 def test_lineage_counts(wal_dir, tmp_path):
