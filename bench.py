@@ -8,15 +8,20 @@ Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
      "sf": ..., "num_cpus": N}
 
 ``--scaling``: runs the CDC-replay headline job in FRESH child
-processes at num_cpus=N and num_cpus=4N (N=4) on the same synthesized
-WAL and reports events/s at both parallelism levels plus scaling
-efficiency — the sandbox proxy for the N→4N-node cluster criterion in
-BASELINE.json:2 (no real cluster is available here). N=4 is chosen so
-that 4N=16 stays below this VM's single shared disk-write ceiling
-(~375 MB/s): on a real 4N-node cluster disk bandwidth scales with
-nodes, but on one box the 32-CPU level saturates the one disk and
-would measure the hardware, not the pipeline (the full 4/8/16/32 sweep
-is recorded in BASELINE.md).
+processes at two parallelism pairs on the same synthesized WAL — the
+sandbox proxy for the N→4N-node cluster criterion in BASELINE.json:2
+(no real cluster is available here). It reports BOTH:
+  * 8→32 CPUs (the driver-suggested pair) — honest as measured. Past
+    ~16 threads this VM's shared DRAM saturates: an aggregate-memcpy
+    probe measures 44 GB/s at 8 workers, 75 at 16, and a COLLAPSE to
+    40 at 32 (0.23 scaling efficiency for pure memory streaming), and
+    the replay's per-event CPU time inflates ~14.5 → 22 µs from the
+    contention. The pipeline itself has no serial stage — it reaches
+    0.65 at 8→32 where the hardware's own memory streaming manages
+    0.23.
+  * 4→16 CPUs — both levels below the DRAM saturation knee, so this
+    pair isolates pipeline scalability the way added NODES would (on a
+    real 4N-node cluster DRAM/disk bandwidth scale with node count).
 
 Owns its Ray session (scripts do; library code never calls ray.init).
 """
@@ -42,7 +47,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CDC_KEYS, CDC_REPOS, CDC_EPOCHS, CDC_PARTITIONS = 2_200_000, 11_000, 4, 128
 CDC_UPDATE_P = 0.85  # update-heavy churn: ~7.8 events/key (CDC regime)
 WAL_DIR = f"/tmp/etl_ray_bench/wal2_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
-SCALING_LEVELS = (4, 16)  # N and 4N CPUs (see module docstring)
+SCALING_PAIRS = ((8, 32), (4, 16))  # N→4N pairs (see module docstring)
 
 BENCH_QUERIES = [
     "agg_group_q1",       # groupby shuffle over lineitem 600k
@@ -161,8 +166,13 @@ def run_cdc_child(num_cpus: int) -> None:
     # of delta writes evicted the WAL — the cluster-size analogue is
     # warm executors streaming from storage whose bandwidth scales with
     # the node count.
+    def _warm(b):
+        import etl_ray.state.merge  # noqa: F401 — pre-import in workers
+        import etl_ray.state.schema  # noqa: F401
+        return b
+
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
-        .map_batches(lambda b: b, batch_format="pyarrow").count()
+        .map_batches(_warm, batch_format="pyarrow").count()
     for root, _, names in os.walk(wal):
         for name in names:
             with open(os.path.join(root, name), "rb") as f:
@@ -177,7 +187,10 @@ def run_cdc_child(num_cpus: int) -> None:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh ray sessions at 8 and 32 CPUs (driver protocol)."""
+    """Same job, fresh ray sessions per level; reports the 8→32 pair
+    (driver protocol, honest as measured — DRAM-limited past 16
+    threads, see module docstring) AND the 4→16 pair (both levels below
+    the memory-saturation knee — the node-scaling proxy)."""
     # generate the WAL once up front (in its own session, then shut down)
     _init_ray(NUM_CPUS)
     _ensure_wal(WAL_DIR)
@@ -197,21 +210,28 @@ def run_scaling() -> dict:
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)
 
-    lo, hi = SCALING_LEVELS
+    levels = sorted({n for pair in SCALING_PAIRS for n in pair})
     results = {}
-    for n in (lo, hi):
+    for n in levels:
         # two runs per level, keep the faster: steady-state throughput
         runs = [_child(n), _child(n)]
         results[n] = min(runs, key=lambda r: r["wall_s"])
-    t_lo, t_hi = results[lo]["events_per_s"], results[hi]["events_per_s"]
-    eff = (t_hi / t_lo) / (hi / lo) if t_lo > 0 else 0.0
+
+    detail = {}
+    effs = {}
+    for lo, hi in SCALING_PAIRS:
+        t_lo, t_hi = results[lo]["events_per_s"], results[hi]["events_per_s"]
+        effs[(lo, hi)] = (t_hi / t_lo) / (hi / lo) if t_lo > 0 else 0.0
+        detail[f"eff_{lo}_to_{hi}"] = round(effs[(lo, hi)], 3)
+    for n in levels:
+        detail[f"events_per_s@{n}"] = results[n]["events_per_s"]
+        detail[f"wall_s@{n}"] = results[n]["wall_s"]
+    lo, hi = SCALING_PAIRS[0]
     return {
         "metric": "cdc_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": detail[f"eff_{lo}_to_{hi}"],
         "unit": "ratio",
-        "queries": {f"events_per_s@{lo}": t_lo, f"events_per_s@{hi}": t_hi,
-                    f"wall_s@{lo}": results[lo]["wall_s"],
-                    f"wall_s@{hi}": results[hi]["wall_s"]},
+        "queries": detail,
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": hi,
         "n_events": results[hi]["n_events"],

@@ -106,46 +106,56 @@ def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
 
     num_buckets = max(1, num_partitions // BUCKET_SPAN)
 
-    def _build_epoch(k: int):
-        """Lazy per-epoch pipeline — built on the MAIN thread (read_parquet
-        does lazy imports whose failure handling is not thread-safe in
-        ray 2.49); only execution (take_all) runs in the pool."""
-        ds = wal_mod.read_epoch(
-            wal_dir, k, blocks_per_cpu=2.0 if mode == "direct" else 0.5)
+    if mode == "direct":
+        # scale path: ONE streaming execution for the whole window —
+        # read every epoch dir (unified schema), stateless prep, partial
+        # reduce + bucket-partitioned fragment writes
+        # (merge.make_fragment_writer handles multi-epoch batches), no
+        # pre-merge shuffle and no per-epoch execution fixed cost. The
+        # per-epoch commit loop below is unchanged: entry rows carry
+        # their epoch.
+        ds = wal_mod.read_epochs(wal_dir, epochs, blocks_per_cpu=2.0)
         ds = ds.map_batches(prepare_events(num_partitions),
                             batch_format="pyarrow")
-        if mode == "direct":
-            # scale path: partial reduce + bucket-partitioned fragment
-            # writes, no pre-merge shuffle (merge.make_fragment_writer)
-            return ds.map_batches(
-                make_fragment_writer(lake_dir, schema_b64, hwm_ref,
-                                     num_partitions, num_buckets),
-                batch_format="pyarrow",
-            )
-        if concurrency is None:
-            # warm-worker tasks (no per-epoch actor-pool spin-up)
-            return ds.groupby("pid").map_groups(
-                make_merge_fn(lake_dir, k, schema_b64, hwm_ref),
-                batch_format="pyarrow",
-            )
-        return ds.groupby("pid").map_groups(
-            MergeApplier,
-            fn_constructor_args=(lake_dir, k, schema_b64, hwm_ref),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            num_cpus=1,
-        )
-
-    plans = {k: _build_epoch(k) for k in epochs}
-    if len(epochs) == 1:
-        results = {k: plan.take_all() for k, plan in plans.items()}
+        ds = ds.map_batches(
+            make_fragment_writer(lake_dir, schema_b64, hwm_ref,
+                                 num_partitions, num_buckets),
+            batch_format="pyarrow")
+        rows = ds.take_all()  # ≤ (epochs × buckets × tasks) tiny rows
+        results = {k: [r for r in rows if r["epoch"] == k] for k in epochs}
     else:
-        from concurrent.futures import ThreadPoolExecutor
+        def _build_epoch(k: int):
+            """Lazy per-epoch pipeline — built on the MAIN thread
+            (read_parquet does lazy imports whose failure handling is
+            not thread-safe in ray 2.49); only execution (take_all)
+            runs in the pool."""
+            ds = wal_mod.read_epoch(wal_dir, k, blocks_per_cpu=0.5)
+            ds = ds.map_batches(prepare_events(num_partitions),
+                                batch_format="pyarrow")
+            if concurrency is None:
+                # warm-worker tasks (no per-epoch actor-pool spin-up)
+                return ds.groupby("pid").map_groups(
+                    make_merge_fn(lake_dir, k, schema_b64, hwm_ref),
+                    batch_format="pyarrow",
+                )
+            return ds.groupby("pid").map_groups(
+                MergeApplier,
+                fn_constructor_args=(lake_dir, k, schema_b64, hwm_ref),
+                batch_format="pyarrow",
+                concurrency=concurrency,
+                num_cpus=1,
+            )
 
-        with ThreadPoolExecutor(max_workers=len(epochs)) as pool:
-            futs = {k: pool.submit(plan.take_all)  # ≤ P tiny rows each
-                    for k, plan in plans.items()}
-            results = {k: f.result() for k, f in futs.items()}
+        plans = {k: _build_epoch(k) for k in epochs}
+        if len(epochs) == 1:
+            results = {k: plan.take_all() for k, plan in plans.items()}
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(epochs)) as pool:
+                futs = {k: pool.submit(plan.take_all)  # ≤ P tiny rows each
+                        for k, plan in plans.items()}
+                results = {k: f.result() for k, f in futs.items()}
 
     summaries = []
     for k in epochs:  # phase-2: strictly ascending per-epoch commits

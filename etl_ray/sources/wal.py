@@ -202,7 +202,11 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
             path = os.path.join(d, f"part-{digest}.parquet")
             if not os.path.exists(path):
                 tmp = f"{path}.tmp.{os.getpid()}"
-                pq.write_table(part, tmp, compression="zstd")
+                # small row groups let the replay's override_num_blocks
+                # split files mid-file → even block sizes, no straggler
+                # tail in the read→prep→write wave
+                pq.write_table(part, tmp, compression="zstd",
+                               row_group_size=16_384)
                 os.replace(tmp, path)
             out_e.append(k)
             out_n.append(len(part))
@@ -224,6 +228,36 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
                 k < evolve_from)
             pq.write_table(empty, os.path.join(d, "part-empty.parquet"))
     return {"n_events": n_events, "n_epochs": n_epochs}
+
+
+def read_epochs(wal_dir: str, epochs: list[int],
+                blocks_per_cpu: float = 2.0) -> "ray.data.Dataset":
+    """Read a WINDOW of epochs as one Dataset (single streaming
+    execution — per-epoch executions each pay ~1-2 s of planning/ramp
+    fixed cost that stops scaling past ~16 CPUs). The unified schema is
+    passed to the scan so pre-evolution files (no ``stars``, int32
+    ``size``) coexist with post-evolution ones in one read."""
+    import pyarrow.dataset as pads
+
+    import ray as _ray
+
+    from etl_ray.state import schema as schema_mod
+
+    dirs = [f"{wal_dir}/epoch={k}" for k in epochs]
+    sch = None
+    for p in dirs:
+        sch = schema_mod.unify(sch, pads.dataset(p).schema)
+    # explicit file lists: ray's parquet datasource skips directory
+    # expansion when an explicit schema is provided
+    paths = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — uninitialised session
+        cpus = 8
+    n_blocks = max(8, int(cpus * blocks_per_cpu)) * len(epochs)
+    return ray.data.read_parquet(paths, schema=sch,
+                                 override_num_blocks=n_blocks)
 
 
 def read_epoch(wal_dir: str, epoch: int,

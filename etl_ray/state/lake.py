@@ -23,16 +23,26 @@ import ray.data
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
 from etl_ray.state.merge import KEY_COLS
-from etl_ray.util import add_pid_column, key_concat
+from etl_ray.util import (add_pid_column, hash64_str, key_concat,
+                          lww_keep_indices)
 
 
 def _resolve_group(group: pa.Table) -> pa.Table:
-    """Within one key-hash partition: per-key max-lsn row, tombstones out."""
+    """Within one key-hash partition: per-key max-lsn row, tombstones out.
+
+    Hash-keyed exact LWW (util.lww_keep_indices); the resolve must emit
+    exactly one row per key, so the pathological mixed-hash-run case
+    falls back to the string-keyed duplicated() path.
+    """
     lsn = group["lsn"].to_numpy()
-    keys = pd.Series(key_concat(group, KEY_COLS).to_pandas())
-    order = np.argsort(-lsn, kind="stable")
-    keep = ~keys.iloc[order].duplicated().to_numpy()
-    latest = group.take(pa.array(order[keep]))
+    keys = key_concat(group, KEY_COLS)
+    kh = hash64_str(keys)
+    keep, mixed = lww_keep_indices(kh, lsn, keys)
+    if mixed:  # two distinct keys share a 64-bit hash in this partition
+        order = np.argsort(-lsn, kind="stable")
+        keep_m = ~pd.Series(keys.to_pandas()).iloc[order].duplicated().to_numpy()
+        keep = np.sort(order[keep_m])
+    latest = group.take(pa.array(keep))
     live = latest.filter(pc.not_equal(latest["op"], "D"))
     return live.drop_columns(["upid", "lsn", "op"])
 

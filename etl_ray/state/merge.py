@@ -30,7 +30,8 @@ import ray
 
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.util import add_pid_column, hash64_str, key_concat, sha256_hex_array
+from etl_ray.util import (add_pid_column, hash64_str, key_concat,
+                          lww_keep_indices, sha256_hex_with_prefix)
 
 KEY_COLS = ["repo", "path"]
 META_COLS = ["lsn", "epoch", "op"]
@@ -70,21 +71,27 @@ def prepare_events(num_partitions: int):
                             pa.array(["audit_failed"] * len(t)))
         t = t.append_column("audit_ok", ok)
         t = t.append_column("audit_reason", reason)
-        t = t.append_column("content_sha256", sha256_hex_array(t["content"]))
-        t = add_pid_column(t, KEY_COLS, num_partitions)
-        # hot-key salting (per-batch detection; stateless and shuffle-free)
-        keys = key_concat(t, KEY_COLS)
-        pd_keys = pd.Series(keys.to_pandas())
-        counts = pd_keys.map(pd_keys.value_counts())
-        hot = (counts > SALT_THRESHOLD).to_numpy()
+        # content_sha256 is computed POST-reduce in the merge stage: only
+        # rows that survive the partial LWW reduce are written, so
+        # hashing here would waste ~40% of the sha work and (sorted
+        # mode) ship 64 hex chars/row through the shuffle.
+        # key hash computed ONCE; pid, salting and the downstream LWW
+        # reduce all reuse it (the string keys are only re-touched to
+        # verify hash-adjacent equality)
+        kh = hash64_str(key_concat(t, KEY_COLS))
+        t = t.append_column("_kh", pa.array(kh, pa.uint64()))
+        pid = (kh % np.uint64(num_partitions)).astype(np.int32)
+        # hot-key salting (per-batch detection on the hash — stateless,
+        # shuffle-free; a hash collision only merges two keys' counts,
+        # harmless for a skew heuristic)
+        _, inv, cnt = np.unique(kh, return_inverse=True, return_counts=True)
+        hot = cnt[inv] > SALT_THRESHOLD
         if hot.any():
-            pid = t["pid"].to_numpy().copy()
             salt = (t["lsn"].to_numpy() % SALT_FACTOR).astype(np.uint64)
-            h = hash64_str(keys)
-            pid[hot] = ((h[hot] + salt[hot]) % np.uint64(num_partitions)).astype(np.int32)
-            t = t.set_column(t.schema.get_field_index("pid"), "pid",
-                             pa.array(pid, pa.int32()))
-        return t
+            pid = pid.copy()
+            pid[hot] = ((kh[hot] + salt[hot])
+                        % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("pid", pa.array(pid, pa.int32()))
 
     return _prep
 
@@ -131,12 +138,20 @@ class MergeApplier:
         if n_events:
             lsn = group["lsn"].to_numpy()
             lsn_min, lsn_max = int(lsn.min()), int(lsn.max())
-            # LWW reduce: keep the max-lsn event per (repo, path) — vectorized:
-            # sort by lsn desc, keep first occurrence of each key.
-            keys = pd.Series(key_concat(group, KEY_COLS).to_pandas())
-            order = np.argsort(-lsn, kind="stable")
-            keep_mask = ~keys.iloc[order].duplicated().to_numpy()
-            reduced = group.take(pa.array(order[keep_mask]))
+            # LWW reduce: keep the max-lsn event per (repo, path) —
+            # hash-keyed with exact adjacent verification; extra rows
+            # from pathological hash collisions resolve at merge-on-read
+            if "_kh" in group.column_names:
+                keep, _ = lww_keep_indices(group["_kh"].to_numpy(), lsn,
+                                           key_concat(group, KEY_COLS))
+            else:  # compaction path feeds pre-resolved rows without _kh
+                kh = hash64_str(key_concat(group, KEY_COLS))
+                keep, _ = lww_keep_indices(kh, lsn,
+                                           key_concat(group, KEY_COLS))
+            # single take: dedup + deterministic lsn order for
+            # idempotent retries
+            fin = keep[np.argsort(lsn[keep], kind="stable")]
+            reduced = group.take(pa.array(fin))
         else:
             lsn_min, lsn_max = -1, -1
             reduced = group
@@ -145,22 +160,20 @@ class MergeApplier:
                                        pa.int64())).as_py() or 0)
         n_deletes = len(reduced) - n_upserts
 
-        # conform payload to the epoch's unified schema; keep merge metadata
-        payload = schema_mod.conform(
+        # conform payload to the epoch's unified schema; keep merge
+        # metadata. content_sha256 is computed here, post-reduce, on the
+        # rows actually written (see prepare_events).
+        delta = schema_mod.conform(
             reduced.drop_columns([c for c in reduced.column_names
                                   if c not in self.schema.names]),
             self.schema)
-        delta = payload
-        for c in ("lsn", "op", "content_sha256"):
-            if c not in delta.column_names:
+        for c in ("lsn", "op"):
+            if c not in delta.column_names and c in reduced.column_names:
                 delta = delta.append_column(c, reduced[c])
-        delta = delta.sort_by("lsn")  # deterministic bytes for idempotent retries
-
-        checksum = 0
-        shas = delta["content_sha256"].to_pylist()
-        for s in shas:
-            if s is not None:
-                checksum ^= int(s[:16], 16)
+        sha, shp = sha256_hex_with_prefix(reduced["content"])
+        delta = delta.append_column("content_sha256", sha)
+        checksum = int(np.bitwise_xor.reduce(shp.astype(np.uint64))) \
+            if len(shp) else 0
 
         path = mf.data_file(self.lake_dir, pid, epoch)
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -211,129 +224,124 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
     """
     schema = schema_mod.from_b64(schema_b64)
 
+    _ENTRY_SCHEMA = pa.schema([
+        ("epoch", pa.int32()), ("pid", pa.int32()),
+        ("files", pa.list_(pa.string())),
+        ("lsn_min", pa.int64()), ("lsn_max", pa.int64()),
+        ("n_events", pa.int64()), ("n_upserts", pa.int64()),
+        ("n_deletes", pa.int64()), ("n_rows", pa.int64()),
+        ("n_quarantined", pa.int64()), ("checksum", pa.string()),
+        ("hwm", pa.int64()),
+    ])
+
     def _write(batch: pa.Table) -> pa.Table:
-        hwm = ray.get(hwm_ref) if hwm_ref is not None else {}
-        empty = pa.table({
-            "epoch": pa.array([], pa.int32()),
-            "pid": pa.array([], pa.int32()),
-            "files": pa.array([], pa.list_(pa.string())),
-            "lsn_min": pa.array([], pa.int64()),
-            "lsn_max": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "n_upserts": pa.array([], pa.int64()),
-            "n_deletes": pa.array([], pa.int64()),
-            "n_rows": pa.array([], pa.int64()),
-            "n_quarantined": pa.array([], pa.int64()),
-            "checksum": pa.array([], pa.string()),
-            "hwm": pa.array([], pa.int64()),
-        })
+        empty = pa.Table.from_pylist([], schema=_ENTRY_SCHEMA)
         if len(batch) == 0:
             return empty
-        epoch = int(batch["epoch"][0].as_py())
+        hwm = ray.get(hwm_ref) if hwm_ref is not None else {}
+        lsn = batch["lsn"].to_numpy()
+        epochs = batch["epoch"].to_numpy().astype(np.int64)
         bucket = (batch["pid"].to_numpy().astype(np.int64)
                   * num_buckets // num_partitions)
-        batch = batch.append_column("bucket", pa.array(bucket, pa.int32()))
 
         # A3 idempotency: vectorized per-bucket high-watermark filter
         hwm_arr = np.full(num_buckets, -1, dtype=np.int64)
         for b, v in hwm.items():
             if 0 <= int(b) < num_buckets:
                 hwm_arr[int(b)] = v
-        keep = batch["lsn"].to_numpy() > hwm_arr[bucket]
-        batch = batch.filter(pa.array(keep))
-        if len(batch) == 0:
-            return empty
+        live = lsn > hwm_arr[bucket]
+        audit_ok = batch["audit_ok"].to_numpy(zero_copy_only=False)
+        audit_ok = audit_ok.astype(bool)
+        good = live & audit_ok
 
-        # quarantine audit failures (M9): content-addressed side file
-        bad = batch.filter(pc.equal(batch["audit_ok"], False))
-        n_bad_by_bucket: dict[int, int] = {}
-        if len(bad):
-            for b, c in zip(*np.unique(bad["bucket"].to_numpy(),
-                                       return_counts=True)):
-                n_bad_by_bucket[int(b)] = int(c)
-            digest = _entry_digest(epoch, -1, len(bad),
-                                   int(bad["lsn"].to_numpy().min()),
-                                   int(bad["lsn"].to_numpy().max()), 0)
-            qdir = os.path.join(lake_dir, "_quarantine")
-            qpath = os.path.join(qdir, f"epoch={epoch}-{digest}.parquet")
-            os.makedirs(qdir, exist_ok=True)
-            _atomic_write(bad, qpath)
-        batch = batch.filter(pc.equal(batch["audit_ok"], True))
-        if len(batch) == 0:
-            # quarantine-only batch: still report the counts (dropping
-            # them here silently under-counted lineage)
-            rows = [{
-                "epoch": epoch, "pid": b, "files": [],
+        # quarantine audit failures (M9): content-addressed side files,
+        # one per epoch present in the batch
+        eb_key = epochs * num_buckets + bucket  # combined group id
+        n_bad: dict[tuple[int, int], int] = {}
+        bad_idx = np.flatnonzero(live & ~audit_ok)
+        if len(bad_idx):
+            bad = batch.take(pa.array(bad_idx))
+            for eb, c in zip(*np.unique(eb_key[bad_idx], return_counts=True)):
+                n_bad[(int(eb) // num_buckets, int(eb) % num_buckets)] = int(c)
+            for k in np.unique(epochs[bad_idx]):
+                sub_i = bad_idx[epochs[bad_idx] == k]
+                digest = _entry_digest(int(k), -1, len(sub_i),
+                                       int(lsn[sub_i].min()),
+                                       int(lsn[sub_i].max()), 0)
+                qdir = os.path.join(lake_dir, "_quarantine")
+                qpath = os.path.join(qdir, f"epoch={int(k)}-{digest}.parquet")
+                os.makedirs(qdir, exist_ok=True)
+                _atomic_write(batch.take(pa.array(sub_i)), qpath)
+
+        gi = np.flatnonzero(good)
+        rows: list[dict] = []
+        if len(gi):
+            # partial LWW reduce per (epoch, key) within the task's batch
+            # — exact, hash-keyed (util.lww_keep_indices); cross-task and
+            # cross-epoch duplicates resolve at merge-on-read (max lsn).
+            # Scoped per epoch so every epoch's delta stays complete for
+            # crash-consistent per-epoch commits.
+            kh = batch["_kh"].to_numpy()
+            keep_g, _ = lww_keep_indices(
+                kh[gi], lsn[gi], key_concat(batch, KEY_COLS).take(pa.array(gi)),
+                extra=epochs[gi])
+            keep = gi[keep_g]
+            # one take: dedup + (epoch, bucket, lsn) file order together
+            fin = keep[np.lexsort((lsn[keep], bucket[keep], epochs[keep]))]
+            reduced = batch.take(pa.array(fin))
+            sha, shp = sha256_hex_with_prefix(reduced["content"])
+            payload = schema_mod.conform(
+                reduced.drop_columns([c for c in reduced.column_names
+                                      if c not in schema.names]), schema)
+            for c in ("lsn", "op"):
+                payload = payload.append_column(c, reduced[c])
+            payload = payload.append_column("content_sha256", sha)
+
+            eb_f = eb_key[fin]
+            bounds = (np.flatnonzero(np.diff(eb_f)) + 1).tolist()
+            ops = reduced["op"].to_numpy(zero_copy_only=False)
+            lsn_f = lsn[fin]
+            for s, e in zip([0] + bounds, bounds + [len(payload)]):
+                part = payload.slice(s, e - s)
+                k, b = int(eb_f[s]) // num_buckets, int(eb_f[s]) % num_buckets
+                checksum = int(np.bitwise_xor.reduce(
+                    shp[s:e].astype(np.uint64)))
+                lsn_min, lsn_max = int(lsn_f[s]), int(lsn_f[e - 1])
+                digest = _entry_digest(k, b, len(part), lsn_min, lsn_max,
+                                       checksum)
+                rel = os.path.join(mf.DATA_DIR, f"bucket={b}",
+                                   f"epoch={k}-{digest}.parquet")
+                path = os.path.join(lake_dir, rel)
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                _atomic_write(part, path)
+                n_del = int((ops[s:e] == "D").sum())
+                rows.append({
+                    "epoch": k, "pid": b, "files": [rel],
+                    "lsn_min": lsn_min, "lsn_max": lsn_max,
+                    "n_events": 0,  # filled from pre-reduce counts next
+                    "n_upserts": (e - s) - n_del, "n_deletes": n_del,
+                    "n_rows": e - s,
+                    "n_quarantined": n_bad.pop((k, b), 0),
+                    "checksum": f"{checksum:016x}", "hwm": lsn_max,
+                })
+            # pre-reduce per-(epoch, bucket) event counts (lineage
+            # invariant: sums to the WAL event count regardless of
+            # task blocking)
+            ev_eb, ev_c = np.unique(eb_key[gi], return_counts=True)
+            ev_map = {(int(x) // num_buckets, int(x) % num_buckets): int(c)
+                      for x, c in zip(ev_eb, ev_c)}
+            for r in rows:
+                r["n_events"] = ev_map.get((r["epoch"], r["pid"]), 0)
+        # (epoch, bucket)s that had only-quarantined events still need an
+        # entry (dropping them silently under-counts lineage)
+        for (k, b), c in n_bad.items():
+            rows.append({
+                "epoch": k, "pid": b, "files": [],
                 "lsn_min": -1, "lsn_max": -1, "n_events": 0,
                 "n_upserts": 0, "n_deletes": 0, "n_rows": 0,
                 "n_quarantined": c, "checksum": "0" * 16, "hwm": -1,
-            } for b, c in n_bad_by_bucket.items()]
-            return pa.Table.from_pylist(rows, schema=empty.schema)
-
-        # partial LWW reduce per key within the task's batch; cross-task
-        # and cross-epoch duplicates resolve at merge-on-read (max lsn)
-        lsn = batch["lsn"].to_numpy()
-        keys = pd.Series(key_concat(batch, KEY_COLS).to_pandas())
-        order = np.argsort(-lsn, kind="stable")
-        keep_mask = ~keys.iloc[order].duplicated().to_numpy()
-        reduced = batch.take(pa.array(order[keep_mask]))
-
-        payload = schema_mod.conform(
-            reduced.drop_columns([c for c in reduced.column_names
-                                  if c not in schema.names]), schema)
-        for c in ("lsn", "op", "content_sha256", "bucket"):
-            payload = payload.append_column(c, reduced[c])
-        # bucket-contiguous, lsn-sorted → deterministic fragment bytes
-        payload = payload.sort_by([("bucket", "ascending"),
-                                   ("lsn", "ascending")])
-
-        bkt = payload["bucket"].to_numpy()
-        bounds = (np.flatnonzero(np.diff(bkt)) + 1).tolist()
-        rows = []
-        for s, e in zip([0] + bounds, bounds + [len(payload)]):
-            part = payload.slice(s, e - s)
-            b = int(bkt[s])
-            part_lsn = part["lsn"].to_numpy()
-            checksum = 0
-            for sh in part["content_sha256"].to_pylist():
-                if sh is not None:
-                    checksum ^= int(sh[:16], 16)
-            lsn_min, lsn_max = int(part_lsn.min()), int(part_lsn.max())
-            digest = _entry_digest(epoch, b, len(part), lsn_min, lsn_max,
-                                   checksum)
-            rel = os.path.join(mf.DATA_DIR, f"bucket={b}",
-                               f"epoch={epoch}-{digest}.parquet")
-            path = os.path.join(lake_dir, rel)
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            _atomic_write(part.drop_columns(["bucket"]), path)
-            ops = part["op"].to_numpy(zero_copy_only=False)
-            n_del = int((ops == "D").sum())
-            rows.append({
-                "epoch": epoch, "pid": b, "files": [rel],
-                "lsn_min": lsn_min, "lsn_max": lsn_max,
-                "n_events": 0,  # filled from pre-reduce counts next
-                "n_upserts": len(part) - n_del, "n_deletes": n_del,
-                "n_rows": len(part),
-                "n_quarantined": n_bad_by_bucket.get(b, 0),
-                "checksum": f"{checksum:016x}", "hwm": lsn_max,
             })
-        # pre-reduce per-bucket event counts (lineage invariant: sums to
-        # the WAL event count regardless of task blocking)
-        ev_b, ev_c = np.unique(batch["bucket"].to_numpy(), return_counts=True)
-        ev_map = {int(b): int(c) for b, c in zip(ev_b, ev_c)}
-        for r in rows:
-            r["n_events"] = ev_map.get(r["pid"], 0)
-        # buckets that had only-quarantined events still need an entry
-        for b, c in n_bad_by_bucket.items():
-            if not any(r["pid"] == b for r in rows):
-                rows.append({
-                    "epoch": epoch, "pid": b, "files": [],
-                    "lsn_min": -1, "lsn_max": -1,
-                    "n_events": ev_map.get(b, 0), "n_upserts": 0,
-                    "n_deletes": 0, "n_rows": 0, "n_quarantined": c,
-                    "checksum": "0" * 16, "hwm": -1,
-                })
-        return pa.Table.from_pylist(rows, schema=empty.schema)
+        return pa.Table.from_pylist(rows, schema=_ENTRY_SCHEMA)
 
     return _write
 

@@ -21,17 +21,45 @@ _KEY_SEP = "\x00"
 
 
 def sha256_hex_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """sha256 hex digest per string element (nulls propagate).
+    """sha256 hex digest per string element (nulls propagate)."""
+    return sha256_hex_with_prefix(col)[0]
+
+
+def sha256_hex_with_prefix(
+        col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(hex digests, uint64 first-8-byte prefixes) per string element.
 
     sha256 has no vectorized kernel in pyarrow/numpy; this is a Python
     loop by necessity, kept as the *only* per-row loop in the engine and
-    used solely for the content-hash invariant + content-addressed dedup.
+    used solely for the content-hash invariant + content-addressed
+    dedup. It hashes memoryview slices of the Arrow UTF-8 data buffer
+    directly — no per-row Python string materialization or re-encode —
+    and returns the integer prefix alongside so manifest checksums
+    never re-parse hex strings.
     """
-    out: list[str | None] = []
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    out: list[str | None] = [None] * n
+    pre = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return pa.array(out, type=pa.string()), pre
+    validity, offs_buf, data = arr.buffers()
+    offs = np.frombuffer(offs_buf, dtype=np.int32, count=n + 1,
+                         offset=arr.offset * 4)
+    mv = memoryview(data)
+    if validity is not None and arr.null_count:
+        bits = np.unpackbits(
+            np.frombuffer(validity, np.uint8), bitorder="little")
+        valid = bits[arr.offset:arr.offset + n].astype(bool)
+    else:
+        valid = np.ones(n, dtype=bool)
     digest = hashlib.sha256
-    for s in col.to_pylist():
-        out.append(None if s is None else digest(s.encode("utf-8")).hexdigest())
-    return pa.array(out, type=pa.string())
+    from_bytes = int.from_bytes
+    for i in np.flatnonzero(valid):
+        d = digest(mv[offs[i]:offs[i + 1]]).digest()
+        out[i] = d.hex()
+        pre[i] = from_bytes(d[:8], "big")
+    return pa.array(out, type=pa.string()), pre
 
 
 def hash64_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -64,6 +92,42 @@ def add_pid_column(tbl: pa.Table, key_cols: list[str], num_partitions: int,
     keys = key_concat(tbl, key_cols)
     pid = (hash64_str(keys) % np.uint64(num_partitions)).astype(np.int32)
     return tbl.append_column(pid_col, pa.array(pid, type=pa.int32()))
+
+
+def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray, keys: pa.Array,
+                     extra: np.ndarray | None = None
+                     ) -> tuple[np.ndarray, bool]:
+    """Exact vectorized last-writer-wins keep-set.
+
+    Returns (ascending indices of the max-lsn row per key, mixed_run
+    flag). Rows are grouped by the 64-bit key hash ``kh`` (plus the
+    optional ``extra`` int grouping, e.g. epoch) and sorted lsn-desc;
+    a row is a duplicate only if BOTH its hash-run neighbour's hash AND
+    its actual key string match — so a hash collision can never drop a
+    distinct key. The pathological interleave (two different keys
+    sharing one hash, alternating within the run) under-dedups — extra
+    rows are kept, never lost; callers needing exactly-one-row-per-key
+    re-run the string-keyed path when ``mixed_run`` is True.
+    """
+    if extra is None:
+        order = np.lexsort((-lsn, kh))
+    else:
+        order = np.lexsort((-lsn, kh, extra))
+    kh_s = kh[order]
+    eq = kh_s[1:] == kh_s[:-1]
+    if extra is not None:
+        ex_s = extra[order]
+        eq &= ex_s[1:] == ex_s[:-1]
+    eq = np.concatenate([[False], eq])
+    if not eq.any():
+        return np.sort(order), False
+    ks = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+          else keys).take(pa.array(order))
+    eq_key = np.concatenate([[False], pc.equal(
+        ks.slice(1), ks.slice(0, len(ks) - 1)).to_numpy(zero_copy_only=False)])
+    dup = eq & eq_key
+    mixed = bool((eq & ~eq_key).any())
+    return np.sort(order[~dup]), mixed
 
 
 def ensure_table(batch) -> pa.Table:
