@@ -91,8 +91,15 @@ def _consume(res) -> int:
 
 def run_queries() -> dict:
     _init_ray(NUM_CPUS)
+    import ray
+
     from etl_ray.pipelines.queries import QUERIES
     from etl_ray.pipelines.scalarq import token_histogram
+
+    # untimed warmup: spin up the session's worker pool once so the
+    # first timed query measures the pipeline, not process spawn
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
 
     bench_qs = dict(QUERIES)
     bench_qs["token_histogram"] = token_histogram  # bench-only (unregistered)

@@ -123,28 +123,49 @@ def agg_global(sf_dir: str):
        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 )
 def agg_group_q1(sf_dir: str):
-    """G2: TPC-H Q1-shaped grouped aggregate (multi-key groupby shuffle)."""
+    """G2: TPC-H Q1-shaped grouped aggregate with MAP-SIDE PARTIALS.
+
+    Ray's groupby shuffle is sort-based over every input row; with ~6
+    groups that is pure waste, so each block pre-aggregates to ≤6 rows
+    of (sums, count) and the distributed groupby only merges
+    6 × n_blocks partial rows — the canonical combiner shape for 100-TB
+    grouped aggregates. The average is derived from (sum, count) after
+    the merge (l_quantity is integral, so the sum — and hence the
+    quotient — is exact in double on both engines).
+    """
     ds = read(sf_dir, "lineitem",
               ["l_returnflag", "l_linestatus", "l_quantity",
                "l_extendedprice", "l_discount"])
 
-    def _derive(t: pa.Table) -> pa.Table:
+    def _partial(t: pa.Table) -> pa.Table:
         disc = pc.multiply(t["l_extendedprice"], pc.subtract(1, t["l_discount"]))
-        return t.append_column("disc_price", disc)
+        t = t.append_column("disc_price", disc)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["l_quantity_sum"],
+            "sum_base_price_c": g["l_extendedprice_sum"],
+            "sum_disc_price_r": g["disc_price_sum"],
+            "count_order": pc.cast(g["l_quantity_count"], pa.int64()),
+        })
 
     out = (
-        ds.map_batches(_derive, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price_c"),
-            Sum("disc_price", alias_name="sum_disc_price_r"),
-            Mean("l_quantity", alias_name="avg_qty_e4"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_c", alias_name="sum_base_price_c"),
+            Sum("sum_disc_price_r", alias_name="sum_disc_price_r"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
 
     def _fp(t: pa.Table) -> pa.Table:
+        avg = pc.divide(t["sum_qty"], pc.cast(t["count_order"], pa.float64()))
+        t = t.append_column("avg_qty_e4", avg)
         t = fixed_point(t, "sum_base_price_c", 100)
         t = fixed_point(t, "sum_disc_price_r", 1)
         return fixed_point(t, "avg_qty_e4", 10000)
@@ -170,13 +191,19 @@ def group_having(sf_dir: str):
        FROM lineitem GROUP BY l_returnflag""",
 )
 def count_distinct(sf_dir: str):
-    """G5 exact count-distinct: distinct pairs first, then count per group.
+    """G5 exact count-distinct: per-block distinct pre-reduce, then a
+    distinct-pair shuffle, then count per group.
 
-    Both stages shuffle on the same leading key, so at scale the second
-    groupby is over the (much smaller) distinct-pair set.
+    Both distributed stages shuffle on the same leading key; the
+    map-side distinct means the first shuffle moves one row per
+    distinct pair per block instead of one per input row.
     """
     ds = read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
-    pairs = ds.groupby(["l_returnflag", "l_partkey"]).aggregate(Count(alias_name="_c"))
+    local = ds.map_batches(
+        lambda t: t.group_by(["l_returnflag", "l_partkey"]).aggregate([]),
+        batch_format="pyarrow")
+    pairs = local.groupby(["l_returnflag", "l_partkey"]).aggregate(
+        Count(alias_name="_c"))
     return (pairs.drop_columns(["_c"])
             .groupby("l_returnflag").aggregate(Count(alias_name="n_parts")))
 
