@@ -255,6 +255,51 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     return j.map_batches(_verify, batch_format="pyarrow")
 
 
+@register("dedup_clusters")
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """Near-dup CLUSTERS: verified MinHash pairs → connected components
+    → canonical representative (min doc_id) per component.
+
+    This is the actionable form of near-dedup for a training-data
+    pipeline: every doc in a non-trivial cluster gets a row
+    ``(doc_id, canon_id, keep)`` — drop rows with ``keep == false`` to
+    dedup the corpus. Rows-only oracle (the transitive closure is not
+    SQL-expressible over the LSH pair set); cluster equality vs a
+    brute-force closure is pinned in tests.
+
+    Scale note: the verified pair set is ~linear in the true-dup count
+    (LSH bucketing + the mega-bucket star-pair cap bound it), so the
+    union-find runs driver-side over that bounded set. The fully
+    distributed variant is iterative min-label propagation — repeat
+    (join labels onto pairs, keep per-doc min) until fixpoint, one hash
+    shuffle per round, O(log diameter) rounds — same output; star
+    pairs from capped buckets keep diameters at 2.
+    """
+    pairs = dedup_minhash(sf_dir, threshold)
+    df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(df["doc_a"], df["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(set(df["doc_a"]) | set(df["doc_b"]))
+    canon = [find(int(m)) for m in members]
+    return pa.table({
+        "doc_id": pa.array(members, pa.int64()),
+        "canon_id": pa.array(canon, pa.int64()),
+        "keep": pa.array([m == c for m, c in zip(members, canon)]),
+    })
+
+
 _SIM_BITS = np.arange(64, dtype=np.uint64)
 
 

@@ -1,0 +1,126 @@
+"""Idiomatic Ray Data sink for the CDC lake: ``ds.write_datasink(LakeSink)``.
+
+API-parity surface for SURVEY.md §2.1 S3: the same two-phase commit the
+replay loop drives (phase 1: bucket-partitioned fragment writes inside
+the distributed write tasks; phase 2: per-epoch manifest commits with
+monotonic fencing) packaged as a ``ray.data.Datasink``, so any
+WAL-shaped Dataset can be loaded with the native write API:
+
+    ds = ray.data.read_parquet(...)          # lsn/epoch/op + payload
+    ds.write_datasink(LakeSink(lake_dir, num_partitions=128))
+
+``write()`` runs distributed (prep + fragment write per block, exactly
+the replay's direct-mode stage); ``on_write_complete()`` runs on the
+driver and performs the fenced commits — a failed job commits nothing
+and the orphan fragments stay invisible to readers (manifest.py
+fencing rules).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pyarrow as pa
+
+import ray
+from ray.data import Datasink
+from ray.data.datasource import WriteResult
+
+from etl_ray.pipelines.cdc import BUCKET_SPAN, _merge_entry_rows
+from etl_ray.state import manifest as mf
+from etl_ray.state import schema as schema_mod
+from etl_ray.state.merge import (make_fragment_writer, payload_schema,
+                                 prepare_events)
+
+
+class LakeSink(Datasink):
+    """Two-phase CDC lake sink (direct/fragment mode).
+
+    Parameters mirror ``cdc.replay``: ``num_partitions`` fixes key
+    routing (a resumed lake must keep it), ``schema`` is the unified
+    payload schema (derived from the first written block's schema when
+    omitted — pass it explicitly when the Dataset's epochs evolve).
+    """
+
+    def __init__(self, lake_dir: str, num_partitions: int = 32,
+                 schema: pa.Schema | None = None):
+        self.lake_dir = lake_dir
+        self.num_partitions = num_partitions
+        self.num_buckets = max(1, num_partitions // BUCKET_SPAN)
+        self._schema = schema
+        self._schema_b64 = None
+        self._hwm_ref = None
+
+    def on_write_start(self) -> None:
+        import os
+
+        os.makedirs(self.lake_dir, exist_ok=True)
+        last = mf.last_manifest(self.lake_dir)
+        if last is not None:
+            # resumed lake: partitioning is defined by the manifest log
+            self.num_partitions = last["num_partitions"]
+            self.num_buckets = last.get(
+                "num_buckets", max(1, self.num_partitions // BUCKET_SPAN))
+        self._hwm_ref = ray.put(mf.high_watermarks(self.lake_dir))
+        if self._schema is not None:
+            current = mf.current_schema(self.lake_dir)
+            self._schema = schema_mod.unify(current, self._schema)
+            self._schema_b64 = schema_mod.to_b64(self._schema)
+
+    def write(self, blocks: Iterable[pa.Table], ctx) -> list[dict]:
+        prep = prepare_events(self.num_partitions)
+        rows: list[dict] = []
+        writer = None
+        for block in blocks:
+            if not isinstance(block, pa.Table):
+                block = pa.Table.from_pandas(block)
+            if len(block) == 0:
+                continue
+            if writer is None:
+                b64 = self._schema_b64 or schema_mod.to_b64(
+                    payload_schema(block.schema))
+                writer = make_fragment_writer(
+                    self.lake_dir, b64, self._hwm_ref,
+                    self.num_partitions, self.num_buckets)
+            rows.extend(writer(prep(block)).to_pylist())
+        return rows
+
+    def on_write_complete(self, write_result: "WriteResult[Any]") -> None:
+        entries: list[dict] = [r for task_rows in write_result.write_returns
+                               for r in task_rows]
+        if not entries:
+            return
+        schema = self._schema
+        if schema is None:
+            # schema wasn't given: recover it from a written fragment's
+            # footer (correct when the input blocks share one schema —
+            # pass schema= explicitly for mixed-evolution datasets)
+            import os
+
+            import pyarrow.parquet as pq
+
+            rel = next(f for r in entries for f in r["files"])
+            file_schema = pq.read_schema(os.path.join(self.lake_dir, rel))
+            schema = pa.schema(
+                [f for f in file_schema
+                 if f.name not in ("lsn", "op", "content_sha256")])
+            schema = schema_mod.unify(mf.current_schema(self.lake_dir),
+                                      schema)
+        epochs = sorted({int(r["epoch"]) for r in entries})
+        for k in epochs:  # fenced, strictly ascending commits
+            by_bucket: dict[int, list[dict]] = {}
+            for r in entries:
+                if int(r["epoch"]) == k:
+                    by_bucket.setdefault(int(r["pid"]), []).append(r)
+            partitions = {b: _merge_entry_rows(rs)
+                          for b, rs in by_bucket.items()}
+            mf.commit_epoch(self.lake_dir, k, schema, partitions,
+                            self.num_partitions, mode="direct",
+                            num_buckets=self.num_buckets)
+
+    def get_name(self) -> str:
+        return f"LakeSink({self.lake_dir})"
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True

@@ -96,6 +96,30 @@ def test_minhash_finds_true_neardups(registry):
     assert got_pairs == want
 
 
+def test_dedup_clusters_match_bruteforce_components(registry):
+    """Connected components over verified near-dup pairs must equal the
+    transitive closure of the brute-force >=0.5-Jaccard pair graph, with
+    min-id canonical representatives."""
+    queries, _ = registry
+    got = _to_pandas(queries["dedup_clusters"](SF_DIR))
+    pairs = _to_pandas(queries["dedup_minhash"](SF_DIR))
+    # brute-force closure over the same pair set
+    parent = {}
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {m: find(m) for m in set(pairs.doc_a) | set(pairs.doc_b)}
+    assert dict(zip(got.doc_id, got.canon_id)) == want
+    assert (got.keep == (got.doc_id == got.canon_id)).all()
+    # every canonical id is itself a kept member of its own cluster
+    assert set(got[got.keep].doc_id) == set(got.canon_id)
+
+
 def test_simhash_close_for_neardups(registry):
     queries, _ = registry
     sims = _to_pandas(queries["text_signals"](SF_DIR))
