@@ -3,6 +3,7 @@
     python -m etl_ray.cli gen-wal --keys 10000 --epochs 4 --out /tmp/wal
     python -m etl_ray.cli replay --wal /tmp/wal --lake /tmp/lake --epochs 4
     python -m etl_ray.cli compact --lake /tmp/lake
+    python -m etl_ray.cli vacuum --lake /tmp/lake
     python -m etl_ray.cli lineage --lake /tmp/lake
 
 Each subcommand prints one JSON line. This module owns its Ray session
@@ -57,6 +58,12 @@ def cmd_compact(args) -> dict:
     return {"lake": args.lake, "live_rows": n}
 
 
+def cmd_vacuum(args) -> dict:
+    from etl_ray.state.lake import vacuum
+
+    return {"lake": args.lake, **vacuum(args.lake)}
+
+
 def cmd_lineage(args) -> dict:
     from etl_ray.state.lineage import lineage_table
 
@@ -96,6 +103,10 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--lake", required=True)
     c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum")
+    v.add_argument("--lake", required=True)
+    v.set_defaults(fn=cmd_vacuum)
 
     li = sub.add_parser("lineage")
     li.add_argument("--lake", required=True)

@@ -103,6 +103,37 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     return out
 
 
+def vacuum(lake_dir: str) -> dict:
+    """Garbage-collect data files no committed manifest references.
+
+    Removes (a) pre-base delta files made invisible by a compaction
+    base, (b) orphan fragments from crashed runs whose epoch was never
+    committed, and (c) stale ``*.tmp.*`` files from interrupted atomic
+    writes. Safe because readers only ever open files listed in
+    committed manifests (mf.committed_files) and a resumed replay
+    deterministically rewrites any uncommitted epoch's fragments under
+    the same content-addressed names. Like Delta VACUUM, it must not
+    run concurrently with an active writer (an in-flight epoch's
+    phase-1 files are not yet referenced). Returns deletion counts.
+    """
+    import os
+
+    referenced = {os.path.abspath(p) for p in mf.committed_files(lake_dir)}
+    data_root = os.path.join(lake_dir, mf.DATA_DIR)
+    n_data = n_tmp = 0
+    for root, _, names in os.walk(data_root):
+        for name in names:
+            p = os.path.abspath(os.path.join(root, name))
+            if ".tmp." in name:
+                os.unlink(p)
+                n_tmp += 1
+            elif name.endswith(".parquet") and p not in referenced:
+                os.unlink(p)
+                n_data += 1
+    return {"deleted_data_files": n_data, "deleted_tmp_files": n_tmp,
+            "live_files": len(referenced)}
+
+
 def compact(lake_dir: str) -> int:
     """Rewrite the lake to one resolved base file per partition key.
 

@@ -184,6 +184,34 @@ def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
         read_lake(lake, columns=["no_such_column"])
 
 
+def test_vacuum_after_compact_and_crash(wal_dir, ref_state, tmp_path):
+    """vacuum deletes pre-base deltas, crash orphans and stale tmp files
+    but never a referenced file; the lake stays correct and resumable."""
+    import os
+
+    from etl_ray.state.lake import vacuum
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2)
+    compact(lake)
+    # plant a crash orphan + a stale tmp in the data dir
+    os.makedirs(f"{lake}/data/bucket=0", exist_ok=True)
+    with open(f"{lake}/data/bucket=0/epoch=9-deadbeef.parquet", "wb") as f:
+        f.write(b"orphan")
+    with open(f"{lake}/data/bucket=0/x.parquet.tmp.123", "wb") as f:
+        f.write(b"tmp")
+    out = vacuum(lake)
+    assert out["deleted_data_files"] >= 1  # pre-base deltas + orphan
+    assert out["deleted_tmp_files"] == 1
+    on_disk = {os.path.join(r, n) for r, _, ns in os.walk(f"{lake}/data")
+               for n in ns}
+    assert on_disk == {os.path.abspath(p) for p in mf.committed_files(lake)}
+    # still correct, still resumable to full convergence
+    s = replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    assert s["first_epoch"] == 2
+    assert lake_shas(lake) == ref_shas(ref_state)
+
+
 def test_lake_datasink_api(wal_dir, ref_state, tmp_path):
     """ds.write_datasink(LakeSink) — the native Ray Data sink API —
     must converge identically to replay(), and a duplicate write of the
