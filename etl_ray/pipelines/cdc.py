@@ -40,17 +40,14 @@ from etl_ray.sources import wal as wal_mod
 from etl_ray.state import lineage as lineage_mod
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.state.merge import (MergeApplier, make_fragment_writer,
-                                 make_merge_fn, payload_schema,
-                                 prepare_events)
+from etl_ray.state.merge import (BUCKET_SPAN, MergeApplier,
+                                 make_fragment_writer, make_merge_fn,
+                                 payload_schema, prepare_events)
 
 # epochs per streaming execution; bounds in-flight shuffle state (tune to
 # cluster memory at scale — each window holds ~window × epoch_bytes in
 # the object store through the groupby)
 DEFAULT_WINDOW = 8
-# direct mode: pids per fragment bucket (bounds fragment-file count:
-# each map task writes ≤ num_partitions / BUCKET_SPAN files per batch)
-BUCKET_SPAN = 8
 
 
 def epoch_schema(wal_dir: str, epoch: int):
@@ -58,25 +55,8 @@ def epoch_schema(wal_dir: str, epoch: int):
     return payload_schema(pads.dataset(f"{wal_dir}/epoch={epoch}").schema)
 
 
-def _merge_entry_rows(rows: list[dict]) -> dict:
-    """Combine several fragment-writer entry rows for one (epoch, bucket)."""
-    out = {
-        "files": [f for r in rows for f in r["files"]],
-        "lsn_min": min((r["lsn_min"] for r in rows if r["lsn_min"] >= 0),
-                       default=-1),
-        "lsn_max": max(r["lsn_max"] for r in rows),
-        "n_events": sum(r["n_events"] for r in rows),
-        "n_upserts": sum(r["n_upserts"] for r in rows),
-        "n_deletes": sum(r["n_deletes"] for r in rows),
-        "n_rows": sum(r["n_rows"] for r in rows),
-        "n_quarantined": sum(r["n_quarantined"] for r in rows),
-        "hwm": max(r["hwm"] for r in rows),
-    }
-    checksum = 0
-    for r in rows:
-        checksum ^= int(r["checksum"], 16)
-    out["checksum"] = f"{checksum:016x}"
-    return out
+# manifest-entry merging lives in state.manifest (shared with LakeSink)
+_merge_entry_rows = mf.merge_entry_rows
 
 
 def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],

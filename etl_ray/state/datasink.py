@@ -26,11 +26,10 @@ import ray
 from ray.data import Datasink
 from ray.data.datasource import WriteResult
 
-from etl_ray.pipelines.cdc import BUCKET_SPAN, _merge_entry_rows
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.state.merge import (make_fragment_writer, payload_schema,
-                                 prepare_events)
+from etl_ray.state.merge import (BUCKET_SPAN, make_fragment_writer,
+                                 payload_schema, prepare_events)
 
 
 class LakeSink(Datasink):
@@ -112,7 +111,7 @@ class LakeSink(Datasink):
             for r in entries:
                 if int(r["epoch"]) == k:
                     by_bucket.setdefault(int(r["pid"]), []).append(r)
-            partitions = {b: _merge_entry_rows(rs)
+            partitions = {b: mf.merge_entry_rows(rs)
                           for b, rs in by_bucket.items()}
             mf.commit_epoch(self.lake_dir, k, schema, partitions,
                             self.num_partitions, mode="direct",

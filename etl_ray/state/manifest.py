@@ -151,6 +151,29 @@ def live_file_counts(lake_dir: str) -> dict[int, int]:
     return counts
 
 
+def merge_entry_rows(rows: list[dict]) -> dict:
+    """Combine several fragment-writer entry rows for one (epoch, key)
+    into a single manifest partition entry (files concat, lsn range
+    union, count sums, checksum xor)."""
+    out = {
+        "files": [f for r in rows for f in r["files"]],
+        "lsn_min": min((r["lsn_min"] for r in rows if r["lsn_min"] >= 0),
+                       default=-1),
+        "lsn_max": max(r["lsn_max"] for r in rows),
+        "n_events": sum(r["n_events"] for r in rows),
+        "n_upserts": sum(r["n_upserts"] for r in rows),
+        "n_deletes": sum(r["n_deletes"] for r in rows),
+        "n_rows": sum(r["n_rows"] for r in rows),
+        "n_quarantined": sum(r["n_quarantined"] for r in rows),
+        "hwm": max(r["hwm"] for r in rows),
+    }
+    checksum = 0
+    for r in rows:
+        checksum ^= int(r["checksum"], 16)
+    out["checksum"] = f"{checksum:016x}"
+    return out
+
+
 def _write_doc(lake_dir: str, seq: int, doc: dict) -> None:
     os.makedirs(_mdir(lake_dir), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=_mdir(lake_dir), suffix=".tmp")

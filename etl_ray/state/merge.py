@@ -39,6 +39,9 @@ VALID_OPS = ("I", "U", "D")
 # events per key per batch beyond which the key is salted across partitions
 SALT_THRESHOLD = 4096
 SALT_FACTOR = 8
+# direct mode: pids per fragment bucket (bounds fragment-file count:
+# each map task writes ≤ num_partitions / BUCKET_SPAN files per batch)
+BUCKET_SPAN = 8
 
 
 def payload_schema(wal_schema: pa.Schema) -> pa.Schema:

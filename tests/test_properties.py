@@ -53,6 +53,51 @@ def test_unify_is_monotone_widening(kinds):
                      pa.float64(): "f64"}[cur.field("x").type]] >= best
 
 
+# ------------------------------------------------ LWW keep-set primitive
+
+
+@given(st.lists(st.integers(0, 9), min_size=1, max_size=60),  # key ids
+       st.integers(1, 4),        # hash buckets — forces collisions
+       st.booleans())            # with extra grouping
+@settings(max_examples=60, deadline=None)
+def test_lww_keep_indices_exact_vs_string_dedup(kids, n_hash, use_extra):
+    """The hash-keyed keep-set must NEVER drop a row the string-keyed
+    reference keeps — even under forced hash collisions (distinct keys
+    sharing one hash; hash stays a pure function of the key). Extra kept
+    rows are allowed only in mixed-run collision cases (and flagged)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_ray.util import lww_keep_indices
+
+    n = len(kids)
+    keys = [f"k{kid}" for kid in kids]
+    # collision-forcing hash, still a pure function of the key
+    kh = np.array([kid % n_hash for kid in kids], dtype=np.uint64)
+    lsn = np.arange(n, dtype=np.int64)
+    extra = (lsn % 2).astype(np.int64) if use_extra else None
+
+    keep, mixed = lww_keep_indices(kh, lsn, pa.array(keys, pa.string()),
+                                   extra=extra)
+
+    # reference: string-keyed max-lsn per (key[, extra])
+    df = pd.DataFrame({"key": keys, "lsn": lsn})
+    if extra is not None:
+        df["extra"] = extra
+        grp = ["key", "extra"]
+    else:
+        grp = ["key"]
+    want = set(df.sort_values("lsn").groupby(grp).tail(1).index)
+
+    got = set(int(i) for i in keep)
+    assert want <= got            # never loses the max-lsn row of a key
+    if not mixed:
+        assert got == want        # exact whenever no mixed collision run
+    # any extra kept row must still be its own key's non-winning event,
+    # never a fabricated index
+    assert got <= set(range(n))
+
+
 # ------------------------------------------------------- LWW replay law
 
 _EVENT = st.tuples(
