@@ -184,6 +184,37 @@ def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
         read_lake(lake, columns=["no_such_column"])
 
 
+def test_incompatible_evolution_fails_without_partial_commit(wal_dir,
+                                                             tmp_path):
+    """An unmergeable schema change (size: int -> list) must raise
+    SchemaEvolutionError BEFORE any of the window commits — the lake
+    stays exactly at its pre-window checkpoint."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+
+    from etl_ray.state.schema import SchemaEvolutionError
+
+    wal2 = str(tmp_path / "wal_bad")
+    shutil.copytree(wal_dir, wal2)
+    # epoch 2 re-typed incompatibly
+    bad_dir = f"{wal2}/epoch=2"
+    name = sorted(os.listdir(bad_dir))[0]
+    t = pq.read_table(os.path.join(bad_dir, name))
+    t = t.set_column(t.schema.get_field_index("size"), "size",
+                     pa.array([[1]] * len(t), pa.list_(pa.int64())))
+    for f in os.listdir(bad_dir):
+        os.unlink(os.path.join(bad_dir, f))
+    pq.write_table(t, os.path.join(bad_dir, name))
+
+    lake = str(tmp_path / "lake")
+    replay(wal2, lake, N_EPOCHS, num_partitions=P, stop_after=2)
+    with pytest.raises(SchemaEvolutionError):
+        replay(wal2, lake, N_EPOCHS, num_partitions=P)
+    assert mf.last_wal_epoch(lake) == 1  # nothing past the checkpoint
+
+
 def test_vacuum_after_compact_and_crash(wal_dir, ref_state, tmp_path):
     """vacuum deletes pre-base deltas, crash orphans and stale tmp files
     but never a referenced file; the lake stays correct and resumable."""

@@ -192,6 +192,19 @@ def test_lang_id_prefers_code_markers(registry):
     assert (out.score_e4 >= 0).all()
 
 
+def test_incremental_sessionize_equals_batch(registry):
+    """The stateful shard-actor streaming sessionizer must produce
+    exactly the batch groupby sessionize result."""
+    from etl_ray.pipelines.streaming import sessionize_incremental
+
+    queries, _ = registry
+    batch = _to_pandas(queries["sessionize"](SF_DIR)).sort_values("user_id")
+    inc = sessionize_incremental(SF_DIR, n_windows=5, n_shards=3) \
+        .to_pandas().sort_values("user_id")
+    assert list(batch.user_id) == list(inc.user_id)
+    assert list(batch.n_sessions) == list(inc.n_sessions)
+
+
 def test_hll_within_error_bound(registry, oracle_con):
     """HLL approximate count-distinct lands within ±5% of exact
     (4096 registers → ~1.6% standard error)."""
