@@ -64,6 +64,18 @@ def cmd_vacuum(args) -> dict:
     return {"lake": args.lake, **vacuum(args.lake)}
 
 
+def cmd_changes(args) -> dict:
+    from etl_ray.state.lake import changes_between
+
+    df = changes_between(args.lake, args.from_epoch,
+                         args.to_epoch).to_pandas()
+    ops = df["op"].value_counts().to_dict() if len(df) else {}
+    return {"lake": args.lake, "from": args.from_epoch, "to": args.to_epoch,
+            "n_changes": len(df),
+            "n_deletes": int(ops.get("D", 0)),
+            "n_upserts": int(len(df) - ops.get("D", 0))}
+
+
 def cmd_lineage(args) -> dict:
     from etl_ray.state.lineage import lineage_table
 
@@ -107,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    ch = sub.add_parser("changes")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--from-epoch", type=int, required=True)
+    ch.add_argument("--to-epoch", type=int, required=True)
+    ch.set_defaults(fn=cmd_changes)
 
     li = sub.add_parser("lineage")
     li.add_argument("--lake", required=True)

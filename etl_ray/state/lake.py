@@ -27,8 +27,9 @@ from etl_ray.util import (add_pid_column, hash64_str, key_concat,
                           lww_keep_indices)
 
 
-def _resolve_group(group: pa.Table) -> pa.Table:
-    """Within one key-hash partition: per-key max-lsn row, tombstones out.
+def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
+    """Within one key-hash partition: per-key max-lsn row; tombstones
+    dropped (state read) or kept (change feed).
 
     Hash-keyed exact LWW (util.lww_keep_indices); the resolve must emit
     exactly one row per key, so the pathological mixed-hash-run case
@@ -43,14 +44,17 @@ def _resolve_group(group: pa.Table) -> pa.Table:
         keep_m = ~pd.Series(keys.to_pandas()).iloc[order].duplicated().to_numpy()
         keep = np.sort(order[keep_m])
     latest = group.take(pa.array(keep))
+    if keep_deletes:
+        return latest.drop_columns(["upid"])
     live = latest.filter(pc.not_equal(latest["op"], "D"))
     return live.drop_columns(["upid", "lsn", "op"])
 
 
 def read_lake(lake_dir: str, num_partitions: int | None = None,
               keep_sha: bool = True,
-              columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Scan the converged current state of the lake (merge-on-read).
+              columns: list[str] | None = None,
+              as_of_epoch: int | None = None) -> "ray.data.Dataset":
+    """Scan the converged state of the lake (merge-on-read).
 
     ``columns`` prunes the payload at the Parquet read — only the
     requested columns plus the merge metadata (key, lsn, op, sha) leave
@@ -59,15 +63,24 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     surfaces as an opaque Arrow read error); schema-evolution gaps
     (a column absent from pre-evolution delta files) are backfilled as
     nulls by passing the unified schema to the scan.
+
+    ``as_of_epoch`` TIME-TRAVELS: the scan sees only delta files (and
+    the schema) of WAL epochs ≤ it — the state the lake converged to at
+    that checkpoint. Reaches back at most to the newest compaction base
+    at or before the epoch (vacuum deletes older deltas, the standard
+    VACUUM/time-travel trade-off).
     """
-    files = mf.committed_files(lake_dir)
-    schema = mf.current_schema(lake_dir)
+    files = mf.committed_files(lake_dir, as_of_epoch=as_of_epoch)
+    man = (mf.last_manifest(lake_dir) if as_of_epoch is None
+           else mf.manifest_as_of(lake_dir, as_of_epoch))
+    schema = (None if man is None
+              else schema_mod.from_b64(man["schema_b64"]))
     if not files or schema is None:
         return ray.data.from_arrow(
             pa.Table.from_pylist([], schema=schema or pa.schema([])))
-    last = mf.last_manifest(lake_dir)
-    P = num_partitions or last["num_partitions"]
+    P = num_partitions or man["num_partitions"]
 
+    lake_schema = schema
     if columns is not None:
         unknown = set(columns) - set(schema.names)
         if unknown:
@@ -89,7 +102,7 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     # passing the unified schema (projected to the read columns) makes
     # the scan evolution-safe: delta files written before an add-column
     # gain the column as nulls instead of failing the projection
-    by_name = {f.name: f for f in mf.current_schema(lake_dir)}
+    by_name = {f.name: f for f in lake_schema}
     by_name.update({"lsn": pa.field("lsn", pa.int64()),
                     "op": pa.field("op", pa.string()),
                     "content_sha256": pa.field("content_sha256", pa.string())})
@@ -101,6 +114,44 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     if not keep_sha:
         out = out.drop_columns(["content_sha256"])
     return out
+
+
+def changes_between(lake_dir: str, from_epoch: int,
+                    to_epoch: int) -> "ray.data.Dataset":
+    """CDC CHANGE FEED: the net per-key change between two checkpoints.
+
+    Reads ONLY the delta files of WAL epochs in (from_epoch, to_epoch]
+    (manifest-pruned — no full-lake scan) and resolves max-lsn per key
+    across them, keeping tombstones: one row per changed key with
+    ``op`` = upsert after-image ("I"/"U", payload as of to_epoch) or
+    "D", plus the deciding ``lsn``. Applying the feed to the
+    as-of-from_epoch state reproduces the as-of-to_epoch state exactly
+    (tested) — the engine is therefore both a CDC consumer and a CDC
+    producer for downstream incremental pipelines.
+    """
+    files = mf.change_files(lake_dir, from_epoch, to_epoch)
+    man = mf.manifest_as_of(lake_dir, to_epoch)
+    if not files or man is None:
+        return ray.data.from_arrow(pa.Table.from_pylist(
+            [], schema=pa.schema([("repo", pa.string()),
+                                  ("path", pa.string()),
+                                  ("op", pa.string()),
+                                  ("lsn", pa.int64())])))
+    schema = schema_mod.from_b64(man["schema_b64"])
+    P = man["num_partitions"]
+    full = pa.schema(list(schema) + [pa.field("lsn", pa.int64()),
+                                     pa.field("op", pa.string()),
+                                     pa.field("content_sha256", pa.string())])
+
+    def _conform(t: pa.Table) -> pa.Table:
+        t = schema_mod.conform(t, full)
+        return add_pid_column(t, KEY_COLS, P, pid_col="upid")
+
+    ds = ray.data.read_parquet(files, schema=full)
+    ds = ds.map_batches(_conform, batch_format="pyarrow")
+    return ds.groupby("upid").map_groups(
+        lambda g: _resolve_group(g, keep_deletes=True),
+        batch_format="pyarrow")
 
 
 def vacuum(lake_dir: str) -> dict:

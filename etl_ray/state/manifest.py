@@ -117,6 +117,18 @@ def current_schema(lake_dir: str) -> pa.Schema | None:
     return None if man is None else schema_mod.from_b64(man["schema_b64"])
 
 
+def manifest_as_of(lake_dir: str, epoch: int) -> dict | None:
+    """The newest committed manifest covering WAL epochs ≤ ``epoch``
+    (time-travel anchor: its schema and partitioning are the lake's
+    state as of that epoch)."""
+    out = None
+    for seq in committed_epochs(lake_dir):
+        m = read_manifest(lake_dir, seq)
+        if m.get("epoch", -1) <= epoch:
+            out = m
+    return out
+
+
 def high_watermarks(lake_dir: str) -> dict[int, int]:
     """partition-key → max committed lsn across all committed manifests
     (A3 dedup index). Keys are pids in sorted mode, buckets in direct
@@ -234,14 +246,29 @@ def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
     return seq
 
 
-def committed_files(lake_dir: str) -> list[str]:
+def _entry_files(lake_dir: str, entry: dict) -> list[str]:
+    if entry["n_rows"] <= 0:
+        return []
+    # sorted mode: one "file"; direct mode: "files" fragments
+    return [os.path.join(lake_dir, rel)
+            for rel in entry.get("files") or [entry["file"]]]
+
+
+def committed_files(lake_dir: str,
+                    as_of_epoch: int | None = None) -> list[str]:
     """All delta files visible to readers (listed in committed manifests).
 
     A manifest with ``base: true`` (written by compaction) replaces all
     earlier epochs — readers start from the most recent base.
+    ``as_of_epoch`` time-travels: only manifests covering WAL epochs
+    ≤ it are visible (vacuum limits how far back this reaches — pre-base
+    deltas it deleted are gone, the Delta/Iceberg VACUUM trade-off).
     """
-    epochs = committed_epochs(lake_dir)
-    manifests = [read_manifest(lake_dir, ep) for ep in epochs]
+    manifests = [read_manifest(lake_dir, ep)
+                 for ep in committed_epochs(lake_dir)]
+    if as_of_epoch is not None:
+        manifests = [m for m in manifests
+                     if m.get("epoch", -1) <= as_of_epoch]
     start = 0
     for i, m in enumerate(manifests):
         if m.get("base"):
@@ -249,8 +276,21 @@ def committed_files(lake_dir: str) -> list[str]:
     files = []
     for m in manifests[start:]:
         for entry in m["partitions"].values():
-            if entry["n_rows"] > 0:
-                # sorted mode: one "file"; direct mode: "files" fragments
-                for rel in entry.get("files") or [entry["file"]]:
-                    files.append(os.path.join(lake_dir, rel))
+            files.extend(_entry_files(lake_dir, entry))
+    return files
+
+
+def change_files(lake_dir: str, from_epoch: int,
+                 to_epoch: int) -> list[str]:
+    """Delta files carrying the WAL epochs in (from_epoch, to_epoch] —
+    the CDC change-feed file set. Base manifests are rewrites, not
+    changes, and are skipped."""
+    files = []
+    for seq in committed_epochs(lake_dir):
+        m = read_manifest(lake_dir, seq)
+        if m.get("base"):
+            continue
+        if from_epoch < m.get("epoch", -1) <= to_epoch:
+            for entry in m["partitions"].values():
+                files.extend(_entry_files(lake_dir, entry))
     return files

@@ -184,6 +184,37 @@ def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
         read_lake(lake, columns=["no_such_column"])
 
 
+def test_time_travel_and_change_feed(wal_dir, ref_state, tmp_path):
+    """as-of reads reproduce any checkpoint's state, and the change feed
+    between two checkpoints replays one state into the other exactly."""
+    from etl_ray.state.lake import changes_between
+
+    lake = str(tmp_path / "lake")
+    # window=2: epochs {0,1} commit with their own (pre-evolution)
+    # unified schema, {2,3} with the evolved one
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, window=2)
+
+    # time travel: state as of epoch 1 == reference replay of epochs 0-1
+    ref2 = reference_replay(wal_dir, 2)
+    asof = read_lake(lake, as_of_epoch=1).to_pandas()
+    assert sorted(asof.content_sha256) == sorted(
+        hashlib.sha256(v["content"].encode()).hexdigest()
+        for v in ref2.values())
+    # pre-evolution schema as of epoch 1: no stars column yet
+    assert "stars" not in asof.columns
+
+    # change feed (1, N-1] applied to the as-of state == final state
+    feed = changes_between(lake, 1, N_EPOCHS - 1).to_pandas()
+    state = {(r.repo, r.path): r.content_sha256
+             for r in asof.itertuples()}
+    for r in feed.sort_values("lsn").itertuples():
+        if r.op == "D":
+            state.pop((r.repo, r.path), None)
+        else:
+            state[(r.repo, r.path)] = r.content_sha256
+    assert sorted(state.values()) == ref_shas(ref_state)
+
+
 def test_incompatible_evolution_fails_without_partial_commit(wal_dir,
                                                              tmp_path):
     """An unmergeable schema change (size: int -> list) must raise
