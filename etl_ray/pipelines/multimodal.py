@@ -1,16 +1,29 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-Real decode libraries (PIL/ffmpeg) are not in this container, so the
-DECODE KERNEL IS A STUB (`FakeImageDecoder` parses a deterministic
-12-byte header; a real deployment swaps `_decode_one` for the library
-call). Everything around it — binary column schema, actor-pool stage
-shape, small batch size for large payloads, output layout — is the real
-Ray-side plumbing and is tested.
+Decode kernels, by format:
+
+- **PNG — REAL decoder** (`PngCodec`): full chunk parse, zlib inflate,
+  scanline unfilter (all five PNG filter types), pixel recovery —
+  pure stdlib (zlib/struct), no PIL needed. The attach stage writes
+  real spec-conformant PNGs; the decode stage recovers the exact pixel
+  array (round-trip asserted in tests).
+- **WAV/PCM audio — REAL decoder** (`WavCodec`): RIFF header parse via
+  the stdlib ``wave`` module, int16 frame decode, duration + RMS
+  feature extraction. Attach writes real playable WAV bytes.
+- **Video — STUB** (`FrameSampler` over `FVID` fake payloads): no
+  ffmpeg in this container; the frame-sampling plumbing (binary
+  explode, stride, actor pool) is real and a deployment swaps
+  ``_frames_of`` for the library call.
+
+Everything around the kernels — binary column schema, actor-pool stage
+shape, small batch size for large payloads, output layout — is the
+real Ray-side plumbing and is tested.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -64,6 +77,180 @@ class FakeImageDecoder:
             "height": pa.array(h),
             "channels": pa.array(c),
             "n_bytes": sizes,
+        })
+
+
+# ------------------------------------------------ REAL PNG codec (stdlib)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class PngCodec:
+    """Real PNG encode/decode in pure stdlib (zlib + struct).
+
+    Encoder emits spec-conformant 8-bit RGB PNGs (filter type 0 per
+    scanline, correct CRCs); the decoder handles ANY baseline
+    non-interlaced 8-bit RGB/RGBA/grayscale PNG including all five
+    scanline filter types (None/Sub/Up/Average/Paeth) — i.e. it decodes
+    foreign PNGs too, not just its own output. Used as an actor-pool
+    ``__call__`` stage: per-actor state is just method dispatch, but the
+    class shape is where a GPU/SIMD decoder would hold its context.
+    """
+
+    _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
+
+    @staticmethod
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    @classmethod
+    def encode(cls, pixels: np.ndarray) -> bytes:
+        """(h, w, 3) uint8 → PNG bytes (8-bit RGB, filter 0)."""
+        h, w, _ = pixels.shape
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+        return (_PNG_SIG + cls._chunk(b"IHDR", ihdr)
+                + cls._chunk(b"IDAT", zlib.compress(raw, 6))
+                + cls._chunk(b"IEND", b""))
+
+    @classmethod
+    def decode(cls, data: bytes) -> tuple[int, int, int, np.ndarray]:
+        """PNG bytes → (width, height, channels, (h, w, c) uint8)."""
+        if data[:8] != _PNG_SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos, idat, meta = 8, [], None
+        while pos < len(data):
+            (ln,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            body = data[pos + 8:pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h, depth, color, _, _, interlace = struct.unpack(
+                    ">IIBBBBB", body)
+                if depth != 8 or interlace != 0 or color not in cls._CHANNELS:
+                    raise NotImplementedError(
+                        f"baseline 8-bit non-interlaced only "
+                        f"(depth={depth}, color={color})")
+                meta = (w, h, cls._CHANNELS[color])
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                break
+            pos += 12 + ln
+        if meta is None:
+            raise ValueError("PNG missing IHDR")
+        w, h, c = meta
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * c
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, stride, y * (stride + 1) + 1).astype(np.int32)
+            if ft == 1:  # Sub
+                for x in range(c, stride):
+                    line[x] = (line[x] + line[x - c]) & 0xFF
+            elif ft == 2:  # Up
+                line = (line + prev) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(stride):
+                    a = line[x - c] if x >= c else 0
+                    line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - c] if x >= c else 0
+                    b = prev[x]
+                    cc = prev[x - c] if x >= c else 0
+                    p = a + b - cc
+                    pr = a if abs(p - a) <= abs(p - b) and \
+                        abs(p - a) <= abs(p - cc) else \
+                        (b if abs(p - b) <= abs(p - cc) else cc)
+                    line[x] = (line[x] + pr) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"bad PNG filter type {ft}")
+            out[y] = line.astype(np.uint8)
+            prev = line
+        return w, h, c, out.reshape(h, w, c)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        dims, sums = [], []
+        for p in t["image"]:
+            w, h, c, px = self.decode(p.as_py())
+            dims.append((w, h, c))
+            sums.append(int(px.sum()))
+        w, h, c = (np.array(x, dtype=np.int64) for x in zip(*dims))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "width": pa.array(w), "height": pa.array(h),
+            "channels": pa.array(c),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "n_bytes": pa.array([len(p.as_py()) for p in t["image"]],
+                                pa.int64()),
+        })
+
+
+def encode_png_for_doc(doc_id: int) -> tuple[bytes, np.ndarray]:
+    """Deterministic small RGB image for a doc → (png bytes, pixels)."""
+    w = 8 + (doc_id * 7) % 24
+    h = 8 + (doc_id * 13) % 16
+    rng = np.random.RandomState(doc_id % (2**31))
+    px = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    return PngCodec.encode(px), px
+
+
+# ------------------------------------------------ REAL WAV codec (stdlib)
+
+
+class WavCodec:
+    """Real PCM WAV encode/decode via the stdlib ``wave`` module: attach
+    writes playable 8 kHz mono int16 audio; decode extracts duration
+    and RMS energy — the feature-extraction stage an audio-quality
+    filter in a training-data pipeline runs."""
+
+    RATE = 8000
+
+    @classmethod
+    def encode(cls, doc_id: int) -> bytes:
+        import io
+        import wave
+
+        n = 200 + (doc_id * 37) % 600  # 25-100 ms
+        freq = 100.0 + (doc_id % 40) * 20.0
+        ts = np.arange(n) / cls.RATE
+        amp = 0.1 + (doc_id % 8) * 0.1
+        samples = (np.sin(2 * np.pi * freq * ts) * amp * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(cls.RATE)
+            wv.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    @staticmethod
+    def decode(data: bytes) -> tuple[int, int, float]:
+        """WAV bytes → (n_samples, rate, rms in [0, 1])."""
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(data), "rb") as wv:
+            n = wv.getnframes()
+            rate = wv.getframerate()
+            pcm = np.frombuffer(wv.readframes(n), dtype="<i2")
+        rms = float(np.sqrt(np.mean((pcm / 32768.0) ** 2))) if n else 0.0
+        return n, rate, rms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = [self.decode(p.as_py()) for p in t["audio"]]
+        n, rate, rms = zip(*rows)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_samples": pa.array(n, pa.int64()),
+            "duration_ms": pa.array(
+                [int(x * 1000 / r) for x, r in zip(n, rate)], pa.int64()),
+            "rms_e4": pa.array([int(round(x * 10000)) for x in rms],
+                               pa.int64()),
         })
 
 
@@ -148,19 +335,34 @@ def multimodal_decode(sf_dir: str):
                                 batch_size=256, concurrency=2)
 
 
-class _DecoderKeepVideo(FakeImageDecoder):
-    """Image decode that passes the video payload column through."""
+class _PngDecodeKeep(PngCodec):
+    """REAL PNG decode that passes the audio/video payloads through."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        return super().__call__(t).append_column("video", t["video"])
+        meta = super().__call__(t)
+        return (meta.append_column("audio", t["audio"])
+                .append_column("video", t["video"]))
+
+
+class _WavDecodeKeep(WavCodec):
+    """REAL WAV decode that carries the image metadata + video along."""
+
+    KEEP = ("width", "height", "channels", "pixel_sum", "n_bytes", "video")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = super().__call__(t)
+        for c in self.KEEP:
+            feats = feats.append_column(c, t[c])
+        return feats
 
 
 class _FrameSamplerKeepMeta(FrameSampler):
-    """Frame sampler that carries per-doc image metadata onto every
-    emitted frame row (vectorized index_in + take against the batch's
-    own doc rows)."""
+    """Frame sampler that carries per-doc image/audio metadata onto
+    every emitted frame row (vectorized index_in + take against the
+    batch's own doc rows)."""
 
-    META_COLS = ("width", "height", "channels", "n_bytes")
+    META_COLS = ("width", "height", "channels", "pixel_sum", "n_bytes",
+                 "n_samples", "duration_ms", "rms_e4")
 
     def __call__(self, t: pa.Table) -> pa.Table:
         frames = super().__call__(t.select(["doc_id", "video"]))
@@ -173,27 +375,33 @@ class _FrameSamplerKeepMeta(FrameSampler):
 
 @register("multimodal_pipeline")
 def multimodal_pipeline(sf_dir: str):
-    """End-to-end multimodal pipeline (T12): attach image + video binary
-    payloads, decode image metadata (actor pool, STUB kernel), then
-    explode sampled frames with the metadata carried per frame — the
-    layout a caption/embedding stage downstream would consume.
-    Rows-only oracle (deterministic frame count)."""
-    ds = read(sf_dir, "documents", ["doc_id", "text"])
+    """End-to-end multimodal pipeline (T12): attach a REAL PNG image, a
+    REAL WAV audio clip and a (stub) video payload per document, decode
+    image pixels and audio features through chained actor-pool stages,
+    then explode sampled video frames with all per-doc metadata carried
+    per frame — the layout a caption/embedding stage downstream would
+    consume. PNG + WAV decoding is real (pure stdlib, see module
+    docstring); only the video kernel is stubbed. Rows-only oracle
+    (deterministic frame count)."""
+    ds = read(sf_dir, "documents", ["doc_id"])
 
     def _attach(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        imgs = [encode_fake_image(i, s)
-                for i, s in zip(ids, t["text"].to_pylist())]
+        imgs = [encode_png_for_doc(i)[0] for i in ids]
+        auds = [WavCodec.encode(i) for i in ids]
         vids = [encode_fake_video(i) for i in ids]
         return pa.table({"doc_id": t["doc_id"],
                          "image": pa.array(imgs, pa.binary()),
+                         "audio": pa.array(auds, pa.binary()),
                          "video": pa.array(vids, pa.binary())})
 
     withm = ds.map_batches(_attach, batch_format="pyarrow")
-    # fractional num_cpus: two chained actor pools at full-CPU
-    # reservations starve the read/attach tasks on small sessions
-    # (4-CPU pytest fixture) — the pools are I/O-light stub decoders
-    dec = withm.map_batches(_DecoderKeepVideo, batch_format="pyarrow",
+    # fractional num_cpus: three chained actor pools at full-CPU
+    # reservations would starve the read/attach tasks on small sessions
+    # (4-CPU pytest fixture)
+    img = withm.map_batches(_PngDecodeKeep, batch_format="pyarrow",
                             batch_size=128, concurrency=2, num_cpus=0.5)
-    return dec.map_batches(_FrameSamplerKeepMeta, batch_format="pyarrow",
+    aud = img.map_batches(_WavDecodeKeep, batch_format="pyarrow",
+                          batch_size=128, concurrency=2, num_cpus=0.5)
+    return aud.map_batches(_FrameSamplerKeepMeta, batch_format="pyarrow",
                            batch_size=128, concurrency=2, num_cpus=0.5)

@@ -185,6 +185,72 @@ def test_multimodal_rejects_non_fake_payload():
         dec._decode_one(b"JPEGnotreally")
 
 
+def test_png_codec_roundtrip_and_all_filters():
+    """The real PNG decoder must recover exact pixels from its own
+    encoder AND from foreign PNGs using every scanline filter type."""
+    import struct
+    import zlib
+
+    from etl_ray.pipelines.multimodal import PngCodec, encode_png_for_doc
+
+    # own-encoder roundtrip
+    png, px = encode_png_for_doc(17)
+    w, h, c, got = PngCodec.decode(png)
+    assert (w, h, c) == (px.shape[1], px.shape[0], 3)
+    assert (got == px).all()
+
+    # foreign PNGs: forward-filter a fixed image with each filter type
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 4, 3), dtype=np.uint8)
+    stride, cs = 4 * 3, 3
+
+    def _paeth(a, b, cc):
+        p = a + b - cc
+        if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - cc):
+            return a
+        return b if abs(p - b) <= abs(p - cc) else cc
+
+    for ft in (0, 1, 2, 3, 4):
+        raw = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(img.shape[0]):
+            line = img[y].reshape(-1).astype(np.int32)
+            enc = line.copy()
+            for x in range(stride):
+                a = line[x - cs] if x >= cs else 0
+                b = prev[x]
+                cc = prev[x - cs] if x >= cs else 0
+                if ft == 1:
+                    enc[x] = (line[x] - a) & 0xFF
+                elif ft == 2:
+                    enc[x] = (line[x] - b) & 0xFF
+                elif ft == 3:
+                    enc[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+                elif ft == 4:
+                    enc[x] = (line[x] - _paeth(a, b, cc)) & 0xFF
+            raw += bytes([ft]) + bytes(enc.astype(np.uint8))
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+        png_f = (b"\x89PNG\r\n\x1a\n" + PngCodec._chunk(b"IHDR", ihdr)
+                 + PngCodec._chunk(b"IDAT", zlib.compress(bytes(raw)))
+                 + PngCodec._chunk(b"IEND", b""))
+        _, _, _, dec = PngCodec.decode(png_f)
+        assert (dec == img).all(), f"filter type {ft} mis-decoded"
+
+
+def test_wav_codec_features():
+    """Real WAV decode: sample counts exact, RMS ≈ amplitude/√2."""
+    from etl_ray.pipelines.multimodal import WavCodec
+
+    for doc_id in (0, 5, 13):
+        data = WavCodec.encode(doc_id)
+        n, rate, rms = WavCodec.decode(data)
+        assert n == 200 + (doc_id * 37) % 600
+        assert rate == WavCodec.RATE
+        amp = 0.1 + (doc_id % 8) * 0.1
+        assert abs(rms - amp / np.sqrt(2)) < 0.02
+
+
 def test_lang_id_prefers_code_markers(registry):
     queries, _ = registry
     out = _to_pandas(queries["text_signals"](SF_DIR))
