@@ -277,7 +277,9 @@ def committed_files(lake_dir: str,
     for m in manifests[start:]:
         for entry in m["partitions"].values():
             files.extend(_entry_files(lake_dir, entry))
-    return files
+    # range fragments are shared by several bucket entries — dedupe,
+    # order-preserving
+    return list(dict.fromkeys(files))
 
 
 def change_files(lake_dir: str, from_epoch: int,
@@ -293,4 +295,4 @@ def change_files(lake_dir: str, from_epoch: int,
         if from_epoch < m.get("epoch", -1) <= to_epoch:
             for entry in m["partitions"].values():
                 files.extend(_entry_files(lake_dir, entry))
-    return files
+    return list(dict.fromkeys(files))

@@ -42,6 +42,13 @@ SALT_FACTOR = 8
 # direct mode: pids per fragment bucket (bounds fragment-file count:
 # each map task writes ≤ num_partitions / BUCKET_SPAN files per batch)
 BUCKET_SPAN = 8
+# minimum rows per fragment FILE: a task packs contiguous buckets into
+# one file until it holds at least this many rows (manifest entries
+# stay per-bucket, sharing the file). Bounds files/task at
+# ~batch_rows/MIN_FRAG_ROWS independent of bucket count — without this
+# a 256-node cluster (16k tasks × 2k buckets) would write millions of
+# sub-MB fragments per epoch.
+MIN_FRAG_ROWS = 8192
 
 
 def payload_schema(wal_schema: pa.Schema) -> pa.Schema:
@@ -304,29 +311,55 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
             bounds = (np.flatnonzero(np.diff(eb_f)) + 1).tolist()
             ops = reduced["op"].to_numpy(zero_copy_only=False)
             lsn_f = lsn[fin]
-            for s, e in zip([0] + bounds, bounds + [len(payload)]):
-                part = payload.slice(s, e - s)
-                k, b = int(eb_f[s]) // num_buckets, int(eb_f[s]) % num_buckets
-                checksum = int(np.bitwise_xor.reduce(
-                    shp[s:e].astype(np.uint64)))
-                lsn_min, lsn_max = int(lsn_f[s]), int(lsn_f[e - 1])
-                digest = _entry_digest(k, b, len(part), lsn_min, lsn_max,
-                                       checksum)
-                rel = os.path.join(mf.DATA_DIR, f"bucket={b}",
-                                   f"epoch={k}-{digest}.parquet")
+            # per-(epoch, bucket) slices → RANGE-FRAGMENT files: pack
+            # consecutive bucket slices of one epoch into a file until
+            # it holds ≥ MIN_FRAG_ROWS, so files/task is bounded by
+            # batch_rows/MIN_FRAG_ROWS regardless of bucket count.
+            # Manifest entries stay per-bucket (sharing the file) —
+            # selective-bucket reads prune on manifest entries, not
+            # directory names (Delta/Hudi-style file-stats pruning).
+            slices = [(s, e, int(eb_f[s]) // num_buckets,
+                       int(eb_f[s]) % num_buckets)
+                      for s, e in zip([0] + bounds,
+                                      bounds + [len(payload)])]
+            gi_start = 0
+            while gi_start < len(slices):
+                gi_end = gi_start
+                k = slices[gi_start][2]
+                # grow the group within one epoch (commit granularity)
+                while (gi_end + 1 < len(slices)
+                       and slices[gi_end + 1][2] == k
+                       and slices[gi_end][1] - slices[gi_start][0]
+                       < MIN_FRAG_ROWS):
+                    gi_end += 1
+                gs, ge = slices[gi_start][0], slices[gi_end][1]
+                b_lo, b_hi = slices[gi_start][3], slices[gi_end][3]
+                gchk = int(np.bitwise_xor.reduce(
+                    shp[gs:ge].astype(np.uint64)))
+                digest = _entry_digest(k, b_lo, ge - gs, int(lsn_f[gs]),
+                                       int(lsn_f[ge - 1]), gchk)
+                rel = os.path.join(
+                    mf.DATA_DIR, f"bucket={b_lo}",
+                    f"epoch={k}-b{b_lo}-{b_hi}-{digest}.parquet")
                 path = os.path.join(lake_dir, rel)
                 os.makedirs(os.path.dirname(path), exist_ok=True)
-                _atomic_write(part, path)
-                n_del = int((ops[s:e] == "D").sum())
-                rows.append({
-                    "epoch": k, "pid": b, "files": [rel],
-                    "lsn_min": lsn_min, "lsn_max": lsn_max,
-                    "n_events": 0,  # filled from pre-reduce counts next
-                    "n_upserts": (e - s) - n_del, "n_deletes": n_del,
-                    "n_rows": e - s,
-                    "n_quarantined": n_bad.pop((k, b), 0),
-                    "checksum": f"{checksum:016x}", "hwm": lsn_max,
-                })
+                _atomic_write(payload.slice(gs, ge - gs), path)
+                for s, e, k_s, b in slices[gi_start:gi_end + 1]:
+                    checksum = int(np.bitwise_xor.reduce(
+                        shp[s:e].astype(np.uint64)))
+                    n_del = int((ops[s:e] == "D").sum())
+                    rows.append({
+                        "epoch": k_s, "pid": b, "files": [rel],
+                        "lsn_min": int(lsn_f[s]),
+                        "lsn_max": int(lsn_f[e - 1]),
+                        "n_events": 0,  # filled from pre-reduce counts
+                        "n_upserts": (e - s) - n_del, "n_deletes": n_del,
+                        "n_rows": e - s,
+                        "n_quarantined": n_bad.pop((k_s, b), 0),
+                        "checksum": f"{checksum:016x}",
+                        "hwm": int(lsn_f[e - 1]),
+                    })
+                gi_start = gi_end + 1
             # pre-reduce per-(epoch, bucket) event counts (lineage
             # invariant: sums to the WAL event count regardless of
             # task blocking)
