@@ -25,4 +25,28 @@ Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — the
 driver, ``bench.py`` and the pytest session fixture own the Ray session.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import etl_ray` free of ray.data
+    import cost until a surface is touched)."""
+    from importlib import import_module
+
+    api = {
+        "replay": ("etl_ray.pipelines.cdc", "replay"),
+        "read_lake": ("etl_ray.state.lake", "read_lake"),
+        "compact": ("etl_ray.state.lake", "compact"),
+        "vacuum": ("etl_ray.state.lake", "vacuum"),
+        "changes_between": ("etl_ray.state.lake", "changes_between"),
+        "LakeSink": ("etl_ray.state.datasink", "LakeSink"),
+        "generate_wal": ("etl_ray.sources.wal", "generate_wal"),
+        "generate_corpus": ("etl_ray.sources.corpus", "generate_corpus"),
+        "Pipeline": ("etl_ray.pipelines.steps", "Pipeline"),
+        "QUERIES": ("etl_ray.pipelines.queries", "QUERIES"),
+        "ORACLE": ("etl_ray.pipelines.queries", "ORACLE"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(import_module(mod), attr)
+    raise AttributeError(f"module 'etl_ray' has no attribute {name!r}")

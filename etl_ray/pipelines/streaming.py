@@ -235,6 +235,114 @@ def sketch_hll_partkeys(sf_dir: str):
         [int(round(hll_estimate(merged)))], pa.int64())})
 
 
+# ----------------------------------------------------- t-digest sketch
+
+
+class TDigest:
+    """Merging t-digest (Dunning) for approximate quantiles of
+    UNBOUNDED-cardinality values — the scale path `agg_quantile`'s
+    histogram pre-aggregation hands over to when the value domain stops
+    being enumerable. Mergeable: one small digest per block, merged
+    associatively (HLL-style), so nothing but centroid arrays crosses
+    the wire. Accuracy concentrates at the tails (k1 size bound
+    ∝ q(1-q)), the property quantile monitoring actually needs."""
+
+    __slots__ = ("means", "weights", "compression")
+
+    def __init__(self, means: np.ndarray, weights: np.ndarray,
+                 compression: int = 100):
+        self.means = means
+        self.weights = weights
+        self.compression = compression
+
+    @classmethod
+    def from_values(cls, vals: np.ndarray, compression: int = 100) -> "TDigest":
+        vals = np.asarray(vals, dtype=np.float64)
+        return cls(*cls._compress(vals, np.ones(len(vals)), compression),
+                   compression)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        return TDigest(*self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+            self.compression), self.compression)
+
+    @staticmethod
+    def _compress(means: np.ndarray, weights: np.ndarray,
+                  delta: int) -> tuple[np.ndarray, np.ndarray]:
+        if len(means) == 0:
+            return means, weights
+        order = np.argsort(means, kind="stable")
+        m, w = means[order], weights[order]
+        total = float(w.sum())
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w, seen = float(m[0]), float(w[0]), 0.0
+        for i in range(1, len(m)):
+            q_mid = (seen + (cur_w + w[i]) / 2) / total
+            cap = max(1.0, 4.0 * total * q_mid * (1 - q_mid) / delta)
+            if cur_w + w[i] <= cap:
+                cur_m = (cur_m * cur_w + float(m[i]) * float(w[i])) \
+                    / (cur_w + float(w[i]))
+                cur_w += float(w[i])
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                seen += cur_w
+                cur_m, cur_w = float(m[i]), float(w[i])
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        return np.array(out_m), np.array(out_w)
+
+    def quantile(self, q: float) -> float:
+        m, w = self.means, self.weights
+        if len(m) == 0:
+            return float("nan")
+        total = w.sum()
+        target = q * total
+        cum = np.cumsum(w) - w / 2  # centroid midpoints
+        if target <= cum[0]:
+            return float(m[0])
+        if target >= cum[-1]:
+            return float(m[-1])
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(m[i] + frac * (m[i + 1] - m[i]))
+
+    def to_bytes(self) -> bytes:
+        return (np.int64(len(self.means)).tobytes()
+                + self.means.tobytes() + self.weights.tobytes())
+
+    @classmethod
+    def from_bytes(cls, b: bytes, compression: int = 100) -> "TDigest":
+        n = int(np.frombuffer(b, np.int64, 1)[0])
+        means = np.frombuffer(b, np.float64, n, 8).copy()
+        weights = np.frombuffer(b, np.float64, n, 8 + 8 * n).copy()
+        return cls(means, weights, compression)
+
+
+def sketch_quantiles_prices(sf_dir: str, qs=(0.5, 0.95, 0.99)):
+    """Approximate order-price quantiles via per-block t-digests merged
+    on the driver — the unbounded-domain counterpart of agg_quantile's
+    exact histogram path (unregistered; rank-accuracy pinned in tests)."""
+    ds = read(sf_dir, "orders", ["o_totalprice"])
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        d = TDigest.from_values(t["o_totalprice"].to_numpy())
+        return pa.table({"td": pa.array([d.to_bytes()], pa.binary())})
+
+    merged: TDigest | None = None
+    for b in ds.map_batches(_sketch, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for raw in b["td"].to_pylist():
+            d = TDigest.from_bytes(raw)
+            merged = d if merged is None else merged.merge(d)
+    return pa.table({
+        "q": pa.array(list(qs), pa.float64()),
+        "value": pa.array([merged.quantile(q) for q in qs], pa.float64()),
+    })
+
+
 @register(
     "topk_frequent_tokens",
     """SELECT token, CAST(cnt AS BIGINT) AS n FROM (

@@ -271,6 +271,21 @@ def test_incremental_sessionize_equals_batch(registry):
     assert list(batch.n_sessions) == list(inc.n_sessions)
 
 
+def test_tdigest_rank_accuracy(registry, oracle_con):
+    """Merged per-block t-digests must hit exact quantiles within ~1%
+    RANK error (the t-digest guarantee) on a continuous column."""
+    from etl_ray.pipelines.streaming import sketch_quantiles_prices
+
+    got = _to_pandas(sketch_quantiles_prices(SF_DIR))
+    vals = np.sort(oracle_con.execute(
+        f"SELECT o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).df().o_totalprice.to_numpy())
+    n = len(vals)
+    for q, v in zip(got.q, got.value):
+        rank = np.searchsorted(vals, v) / n
+        assert abs(rank - q) < 0.015, (q, v, rank)
+
+
 def test_hll_within_error_bound(registry, oracle_con):
     """HLL approximate count-distinct lands within ±5% of exact
     (4096 registers → ~1.6% standard error)."""
