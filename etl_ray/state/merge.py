@@ -36,8 +36,16 @@ from etl_ray.util import (add_pid_column, hash64_str, key_concat,
 KEY_COLS = ["repo", "path"]
 META_COLS = ["lsn", "epoch", "op"]
 VALID_OPS = ("I", "U", "D")
-# events per key per batch beyond which the key is salted across partitions
-SALT_THRESHOLD = 4096
+# hot-key salting thresholds. A key is salted when its per-batch event
+# count exceeds max(SALT_MIN, SALT_REL × batch_rows / num_partitions):
+# RELATIVE to partition balance, not absolute — an absolute-only
+# threshold misses a hot key diluted across many read blocks (each
+# batch sees only batch_rows/blocks of it) while every one of those
+# slices still routes to the same partition. SALT_MIN keeps genuinely
+# small keys unsalted (salting costs read-side resolve work).
+SALT_MIN = 256
+SALT_REL = 4
+SALT_THRESHOLD = 4096  # legacy absolute cap — still salts above this
 SALT_FACTOR = 8
 # direct mode: pids per fragment bucket (bounds fragment-file count:
 # each map task writes ≤ num_partitions / BUCKET_SPAN files per batch)
@@ -93,9 +101,12 @@ def prepare_events(num_partitions: int):
         pid = (kh % np.uint64(num_partitions)).astype(np.int32)
         # hot-key salting (per-batch detection on the hash — stateless,
         # shuffle-free; a hash collision only merges two keys' counts,
-        # harmless for a skew heuristic)
+        # harmless for a skew heuristic). Threshold is RELATIVE to the
+        # batch's fair per-partition share (see SALT_MIN/SALT_REL note).
         _, inv, cnt = np.unique(kh, return_inverse=True, return_counts=True)
-        hot = cnt[inv] > SALT_THRESHOLD
+        thr = min(SALT_THRESHOLD,
+                  max(SALT_MIN, SALT_REL * len(t) // num_partitions))
+        hot = cnt[inv] > thr
         if hot.any():
             salt = (t["lsn"].to_numpy() % SALT_FACTOR).astype(np.uint64)
             pid = pid.copy()

@@ -184,6 +184,57 @@ def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
         read_lake(lake, columns=["no_such_column"])
 
 
+def test_single_hot_key_salting_spreads_partitions(tmp_path):
+    """ONE key carrying more events than SALT_THRESHOLD in a batch must
+    be salted across several merge partitions (the sorted-mode skew
+    bound) while LWW still converges to that key's max-lsn event."""
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.lineage import lineage_table
+    from etl_ray.state.merge import SALT_THRESHOLD
+
+    n_hot = SALT_THRESHOLD * 2
+    rows = []
+    for lsn in range(n_hot):  # the hot key: every event updates it
+        rows.append({
+            "lsn": lsn, "epoch": 0, "op": "I" if lsn == 0 else "U",
+            "repo": "org0/hot", "path": "src/h.py", "commit": f"c{lsn}",
+            "lang": "py", "content": f"hot-v{lsn}", "size": 6,
+        })
+    for k in range(50):  # cold tail
+        rows.append({
+            "lsn": n_hot + k, "epoch": 0, "op": "I",
+            "repo": f"org1/cold{k}", "path": "src/c.py",
+            "commit": f"k{k}", "lang": "py", "content": f"cold-{k}",
+            "size": 6,
+        })
+    schema = pa.schema([
+        ("lsn", pa.int64()), ("epoch", pa.int32()), ("op", pa.string()),
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.string()), ("size", pa.int64()),
+    ])
+    wal = str(tmp_path / "wal_hot")
+    os.makedirs(f"{wal}/epoch=0")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   f"{wal}/epoch=0/part-0.parquet")
+
+    lake = str(tmp_path / "lake_hot")
+    replay(wal, lake, 1, num_partitions=16, mode="sorted")
+    lin = lineage_table(lake).to_pandas()
+    # the hot key's events were salted across >= 4 merge partitions
+    # (unsalted routing would put all 8192+ events on ONE pid)
+    assert (lin.n_events >= SALT_THRESHOLD // 8).sum() >= 4
+    # and LWW across the salted partitions still yields the max-lsn row
+    final = read_lake(lake).to_pandas()
+    hot = final[final.repo == "org0/hot"]
+    assert len(hot) == 1
+    assert hot.iloc[0].content == f"hot-v{n_hot - 1}"
+    assert len(final) == 51
+
+
 def test_time_travel_and_change_feed(wal_dir, ref_state, tmp_path):
     """as-of reads reproduce any checkpoint's state, and the change feed
     between two checkpoints replays one state into the other exactly."""
