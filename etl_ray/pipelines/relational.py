@@ -357,6 +357,34 @@ def join_star_region(sf_dir: str):
 # -------------------------------------------------- sort / distinct / set ops
 
 
+def grouped_topk(sf_dir: str, n: int = 3):
+    """Per-group top-n — the ROW_NUMBER() OVER (PARTITION BY key ORDER
+    BY val DESC) <= n window class (unregistered; DuckDB-equivalence
+    pinned in tests).
+
+    Scale shape: per-block PARTIAL top-n per group first — safe because
+    any row outside its block's per-group top-n cannot be in the global
+    per-group top-n — so the shuffle moves ≤ n rows per (group, block);
+    then a groupby(key) final top-n. Ties broken on o_orderkey asc to
+    match the SQL oracle deterministically.
+    """
+    ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return pa.Table.from_pandas(df.groupby("o_custkey").head(n),
+                                    preserve_index=False)
+
+    def _final(g) -> "pa.Table":
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True])
+        return g.head(n)
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("o_custkey").map_groups(_final, batch_format="pandas"))
+
+
 @register(
     "sort_topk",
     """SELECT o_orderkey, o_totalprice FROM orders

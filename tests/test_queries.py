@@ -271,6 +271,22 @@ def test_incremental_sessionize_equals_batch(registry):
     assert list(batch.n_sessions) == list(inc.n_sessions)
 
 
+def test_grouped_topk_matches_window_sql(oracle_con):
+    """Per-group top-n must equal DuckDB's ROW_NUMBER window query."""
+    from etl_ray.pipelines.relational import grouped_topk
+
+    got = _to_pandas(grouped_topk(SF_DIR, n=3))
+    want = oracle_con.execute("""
+        SELECT o_custkey, o_orderkey, o_totalprice FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders) WHERE rk <= 3""").df()
+    key = lambda df: sorted(zip(df.o_custkey, df.o_orderkey))  # noqa: E731
+    assert len(got) == len(want)
+    assert key(got) == key(want)
+
+
 def test_tdigest_rank_accuracy(registry, oracle_con):
     """Merged per-block t-digests must hit exact quantiles within ~1%
     RANK error (the t-digest guarantee) on a continuous column."""
