@@ -158,18 +158,24 @@ def sessionize_incremental(sf_dir: str, n_windows: int = 6,
             return t.filter(pc.and_(pc.greater_equal(ns, t0),
                                     pc.less(ns, t1)))
 
-        win = (ds.map_batches(_win, batch_format="pyarrow")
-               .map_batches(_route, batch_format="pyarrow"))
-        import pyarrow.compute as pc
+        def _send(t: pa.Table) -> pa.Table:
+            # split the block by shard INSIDE the task and push slices
+            # straight to the shard actors — rows never touch the
+            # driver (the driver only barriers on counts)
+            import pyarrow.compute as pc
 
-        pending = []
-        for ref in win.to_arrow_refs():
-            blk = ray.get(ref)
-            for sid in np.unique(blk["shard"].to_numpy()) if len(blk) else []:
-                sub = blk.filter(pc.equal(blk["shard"], int(sid)))
-                pending.append(shards[int(sid)].buffer.remote(
+            waits = []
+            for sid in (np.unique(t["shard"].to_numpy()) if len(t) else []):
+                sub = t.filter(pc.equal(t["shard"], int(sid)))
+                waits.append(shards[int(sid)].buffer.remote(
                     sub.drop_columns(["shard"])))
-        ray.get(pending)
+            n = sum(ray.get(waits)) if waits else 0
+            return pa.table({"n": pa.array([n], pa.int64())})
+
+        win = (ds.map_batches(_win, batch_format="pyarrow")
+               .map_batches(_route, batch_format="pyarrow")
+               .map_batches(_send, batch_format="pyarrow"))
+        win.count()  # barrier: all of window w buffered
         # watermark advance: every shard folds window w before w+1 opens
         ray.get([s.seal_window.remote() for s in shards])
 
