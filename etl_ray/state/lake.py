@@ -116,6 +116,64 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     return out
 
 
+def lookup(lake_dir: str, repo: str, path: str) -> dict | None:
+    """POINT LOOKUP of one (repo, path) key — no lake scan.
+
+    Prunes twice before touching data: the key's bucket (same hash
+    routing the writers used) selects only manifest entries covering
+    that bucket, and the Parquet reads push the key equality predicate
+    into row-group filtering. The candidate rows (a handful of
+    versions) resolve driver-side by max lsn. Returns the live row as a
+    dict, or None if absent/deleted. At scale this is the index-free
+    read path a serving layer would wrap in an actor holding decoded
+    manifests.
+    """
+    import pyarrow.parquet as pq
+
+    from etl_ray.state.merge import SALT_FACTOR
+
+    man = mf.last_manifest(lake_dir)
+    if man is None:
+        return None
+    P = man["num_partitions"]
+    mode = mf.lake_mode(lake_dir) or "sorted"
+    kh = int(hash64_str(pa.array([f"{repo}\x00{path}"]))[0])
+    # candidate partition keys: the key's own pid PLUS its salt span (a
+    # hot epoch may have routed some of its events to salted pids)
+    cand = {(kh + s) % P for s in range(SALT_FACTOR)}
+    if mode == "direct":
+        nb = man.get("num_buckets", max(1, P // 8))
+        cand = {p * nb // P for p in cand}
+
+    # manifest-pruned file set: only entries covering candidate keys
+    files: list[str] = []
+    manifests = [mf.read_manifest(lake_dir, s)
+                 for s in mf.committed_epochs(lake_dir)]
+    start = 0
+    for i, m in enumerate(manifests):
+        if m.get("base"):
+            start = i
+    for m in manifests[start:]:
+        for k in sorted(cand):
+            entry = m["partitions"].get(str(k))
+            if entry:
+                files.extend(mf._entry_files(lake_dir, entry))
+    files = list(dict.fromkeys(files))
+
+    best: tuple[int, dict] | None = None
+    for f in files:
+        t = pq.read_table(f, filters=[("repo", "=", repo),
+                                      ("path", "=", path)])
+        for row in t.to_pylist():
+            if best is None or row["lsn"] > best[0]:
+                best = (row["lsn"], row)
+    if best is None or best[1]["op"] == "D":
+        return None
+    out = dict(best[1])
+    out.pop("op", None)
+    return out
+
+
 def changes_between(lake_dir: str, from_epoch: int,
                     to_epoch: int) -> "ray.data.Dataset":
     """CDC CHANGE FEED: the net per-key change between two checkpoints.

@@ -184,6 +184,39 @@ def test_pruned_read_across_schema_evolution(wal_dir, tmp_path):
         read_lake(lake, columns=["no_such_column"])
 
 
+def test_point_lookup(wal_dir, ref_state, tmp_path):
+    """lookup() must return exactly the converged row for present keys
+    and None for deleted/unknown ones — without scanning the lake."""
+    from etl_ray.state.lake import lookup
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    items = list(ref_state.items())
+    for (repo, path), want in items[:10]:
+        got = lookup(lake, repo, path)
+        assert got is not None
+        assert got["commit"] == want["commit"]
+        assert got["content"] == want["content"]
+    assert lookup(lake, "no/such", "src/nope.py") is None
+    # a key the reference deleted must be absent
+    full = read_lake(lake).to_pandas()
+    live = set(zip(full.repo, full.path))
+    deleted = None
+    import os
+
+    for k in range(N_EPOCHS):
+        d = f"{wal_dir}/epoch={k}"
+        for f in os.listdir(d):
+            t = pq.read_table(os.path.join(d, f), columns=["repo", "path", "op"])
+            for r, p, o in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                               t["op"].to_pylist()):
+                if o == "D" and (r, p) not in live:
+                    deleted = (r, p)
+                    break
+    if deleted is not None:
+        assert lookup(lake, *deleted) is None
+
+
 def test_single_hot_key_salting_spreads_partitions(tmp_path):
     """ONE key carrying more events than SALT_THRESHOLD in a batch must
     be salted across several merge partitions (the sorted-mode skew
