@@ -159,8 +159,6 @@ def list_flatten(a):
 
 # ------------------------------------------------------------------- json
 
-_JSON_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?")
-
 
 def json_extract_int64(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     """Extract an integer field from a JSON-string column → int64.

@@ -130,8 +130,3 @@ def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray, keys: pa.Array,
     return np.sort(order[~dup]), mixed
 
 
-def ensure_table(batch) -> pa.Table:
-    """Coerce a map_batches input to pyarrow.Table (defensive)."""
-    if isinstance(batch, pa.Table):
-        return batch
-    return pa.Table.from_pydict(batch)
