@@ -229,21 +229,29 @@ def staging_roundtrip(sf_dir: str):
        FROM events GROUP BY event_type
        UNION ALL
        SELECT 'json' AS fmt, event_type, COUNT(*) AS n
+       FROM events GROUP BY event_type
+       UNION ALL
+       SELECT 'orc' AS fmt, event_type, COUNT(*) AS n
        FROM events GROUP BY event_type""",
 )
 def file_roundtrip(sf_dir: str):
-    """S6 aux readers: parquet → CSV and JSONL staging → read_csv /
-    read_json → aggregate, tagged per format. The oracle checks both
-    round-trips lost nothing."""
+    """S6 aux readers: parquet → CSV, JSONL and ORC staging →
+    read_csv / read_json / the custom ORC datasource
+    (etl_ray.sources.orc — ray ships no read_orc; ours streams per
+    stripe) → aggregate, tagged per format. The oracle checks every
+    round-trip lost nothing."""
+    from etl_ray.sources.orc import read_orc, write_orc
+
     h = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     ds = read(sf_dir, "events", ["event_id", "event_type"])
     outs = {}
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         out = f"/tmp/etl_ray_q/{fmt}-{h}"
         shutil.rmtree(out, ignore_errors=True)
         outs[fmt] = out
     ds.write_csv(outs["csv"])
     ds.write_json(outs["json"])
+    write_orc(ds, outs["orc"])
 
     def _tag(fmt: str):
         def _f(t: pa.Table) -> pa.Table:
@@ -252,12 +260,16 @@ def file_roundtrip(sf_dir: str):
 
     parts = []
     for fmt, reader in (("csv", ray.data.read_csv),
-                        ("json", ray.data.read_json)):
+                        ("json", ray.data.read_json),
+                        ("orc", read_orc)):
         agg = (reader(outs[fmt]).groupby("event_type")
                .aggregate(Count(alias_name="n"))
                .map_batches(_tag(fmt), batch_format="pyarrow"))
         parts.append(agg)
-    return parts[0].union(parts[1])
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _hist_quantile(vals, cnts, q: float) -> float:

@@ -57,6 +57,26 @@ def test_prepare_events_audit_flags():
     assert reasons[0] is None and reasons[1] == "audit_failed"
 
 
+def test_orc_datasource_streams_stripes(tmp_path, ray_session):
+    """The custom ORC datasource must stream one block per stripe and
+    round-trip values exactly."""
+    from pyarrow import orc
+
+    from etl_ray.sources.orc import read_orc
+
+    t = pa.table({"x": pa.array(range(10_000), pa.int64()),
+                  "s": pa.array([f"v{i}" for i in range(10_000)])})
+    path = str(tmp_path / "multi.orc")
+    orc.write_table(t, path, stripe_size=16 * 1024)  # force many stripes
+    assert orc.ORCFile(path).nstripes > 1
+    ds = read_orc(path)
+    back = ds.to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(back.x) == list(range(10_000))
+    assert back.s.iloc[123] == "v123"
+    # block count reflects stripe streaming, not whole-file reads
+    assert ds.materialize().num_blocks() > 1
+
+
 def test_quarantine_routing_and_lineage(tmp_path, ray_session):
     """Bad events are quarantined (counted, side-filed), good events land
     in the lake — across both ingest modes."""
