@@ -287,16 +287,19 @@ def test_time_travel_and_change_feed(wal_dir, ref_state, tmp_path):
     # pre-evolution schema as of epoch 1: no stars column yet
     assert "stars" not in asof.columns
 
-    # change feed (1, N-1] applied to the as-of state == final state
-    feed = changes_between(lake, 1, N_EPOCHS - 1).to_pandas()
-    state = {(r.repo, r.path): r.content_sha256
-             for r in asof.itertuples()}
-    for r in feed.sort_values("lsn").itertuples():
-        if r.op == "D":
-            state.pop((r.repo, r.path), None)
-        else:
-            state[(r.repo, r.path)] = r.content_sha256
-    assert sorted(state.values()) == ref_shas(ref_state)
+    # change-feed composition law at EVERY split point a:
+    # state(as-of a) + feed(a, N-1] == final state
+    for a in range(N_EPOCHS - 1):
+        base = read_lake(lake, as_of_epoch=a).to_pandas()
+        feed = changes_between(lake, a, N_EPOCHS - 1).to_pandas()
+        state = {(r.repo, r.path): r.content_sha256
+                 for r in base.itertuples()}
+        for r in feed.sort_values("lsn").itertuples():
+            if r.op == "D":
+                state.pop((r.repo, r.path), None)
+            else:
+                state[(r.repo, r.path)] = r.content_sha256
+        assert sorted(state.values()) == ref_shas(ref_state), f"split {a}"
 
 
 def test_incompatible_evolution_fails_without_partial_commit(wal_dir,
@@ -375,6 +378,28 @@ def test_lake_datasink_api(wal_dir, ref_state, tmp_path):
         LakeSink(lake, num_partitions=P))
     assert lake_shas(lake) == ref_shas(ref_state)
     assert mf.last_wal_epoch(lake) == N_EPOCHS - 1
+
+
+def test_lake_datasink_failed_write_commits_nothing(wal_dir, tmp_path):
+    """If any write task fails, the sink's phase-2 never runs: the lake
+    has NO committed manifests and its files stay invisible."""
+    import pyarrow as pa
+
+    from etl_ray.sources.wal import read_epochs
+    from etl_ray.state.datasink import LakeSink
+
+    lake = str(tmp_path / "lake")
+
+    def _poison(t: pa.Table) -> pa.Table:
+        raise RuntimeError("injected mid-job failure")
+
+    ds = read_epochs(wal_dir, list(range(N_EPOCHS))).map_batches(
+        _poison, batch_format="pyarrow")
+    with pytest.raises(Exception):
+        ds.write_datasink(LakeSink(lake, num_partitions=P))
+    assert mf.last_committed(lake) == -1
+    assert mf.committed_files(lake) == []
+    assert read_lake(lake).count() == 0
 
 
 def test_wal_generation_partition_independent(tmp_path):
