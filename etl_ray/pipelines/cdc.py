@@ -222,7 +222,7 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
                 n_compactions += 1
     wall = time.perf_counter() - t0
     lineage_mod.write_lineage(lake_dir)
-    return {
+    out = {
         "epochs_applied": len(applied),
         "first_epoch": start,
         "n_events": total_events,
@@ -231,3 +231,21 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
         "n_compactions": n_compactions,
         "summaries": applied,
     }
+    _write_run_metrics(lake_dir, out)
+    return out
+
+
+def _write_run_metrics(lake_dir: str, summary: dict) -> None:
+    """Persist one metrics record per replay run under
+    ``lake_dir/_metrics/`` (BASELINE.json:6 metrics surface) — the
+    run-history an operator dashboards: epochs applied, event counts,
+    wall, throughput, compactions, per-epoch summaries."""
+    import json
+
+    d = os.path.join(lake_dir, "_metrics")
+    os.makedirs(d, exist_ok=True)
+    seq = len([n for n in os.listdir(d) if n.startswith("run-")])
+    tmp = os.path.join(d, f".run-{seq}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(summary, f)
+    os.replace(tmp, os.path.join(d, f"run-{seq}.json"))

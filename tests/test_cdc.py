@@ -445,6 +445,25 @@ def test_stale_writer_cannot_corrupt(wal_dir, ref_state, tmp_path):
     assert lake_shas(lake) == before
 
 
+def test_run_metrics_persisted(wal_dir, tmp_path):
+    """Each replay run leaves a metrics record under _metrics/ —
+    resume runs append their own."""
+    import json
+    import os
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P, stop_after=2)
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    d = os.path.join(lake, "_metrics")
+    runs = sorted(os.listdir(d))
+    assert len(runs) == 2
+    with open(os.path.join(d, runs[1])) as f:
+        m = json.load(f)
+    assert m["first_epoch"] == 2
+    assert m["n_events"] > 0 and m["events_per_s"] > 0
+    assert {"epochs_applied", "wall_s", "n_compactions"} <= set(m)
+
+
 def test_lineage_counts(wal_dir, tmp_path):
     from etl_ray.state.lineage import lineage_table
     lake = str(tmp_path / "lake")
