@@ -215,10 +215,14 @@ def replay(wal_dir: str, lake_dir: str, n_epochs: int, num_partitions: int = 32,
             applied.append(s)
         if auto_compact:
             counts = mf.live_file_counts(lake_dir)
-            if counts and max(counts.values()) > auto_compact:
+            over = [k for k, v in counts.items() if v > auto_compact]
+            if over:
                 from etl_ray.state.lake import compact
 
-                compact(lake_dir)
+                # PARTIAL compaction: only the over-threshold keys (plus
+                # their shared-file closure) get rewritten — compaction
+                # write amplification tracks the hot keys, not the lake
+                compact(lake_dir, buckets=over)
                 n_compactions += 1
     wall = time.perf_counter() - t0
     lineage_mod.write_lineage(lake_dir)

@@ -53,7 +53,8 @@ def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
 def read_lake(lake_dir: str, num_partitions: int | None = None,
               keep_sha: bool = True,
               columns: list[str] | None = None,
-              as_of_epoch: int | None = None) -> "ray.data.Dataset":
+              as_of_epoch: int | None = None,
+              _files: list[str] | None = None) -> "ray.data.Dataset":
     """Scan the converged state of the lake (merge-on-read).
 
     ``columns`` prunes the payload at the Parquet read — only the
@@ -70,7 +71,8 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
     at or before the epoch (vacuum deletes older deltas, the standard
     VACUUM/time-travel trade-off).
     """
-    files = mf.committed_files(lake_dir, as_of_epoch=as_of_epoch)
+    files = (_files if _files is not None
+             else mf.committed_files(lake_dir, as_of_epoch=as_of_epoch))
     man = (mf.last_manifest(lake_dir) if as_of_epoch is None
            else mf.manifest_as_of(lake_dir, as_of_epoch))
     schema = (None if man is None
@@ -145,20 +147,11 @@ def lookup(lake_dir: str, repo: str, path: str) -> dict | None:
         nb = man.get("num_buckets", max(1, P // 8))
         cand = {p * nb // P for p in cand}
 
-    # manifest-pruned file set: only entries covering candidate keys
-    files: list[str] = []
-    manifests = [mf.read_manifest(lake_dir, s)
-                 for s in mf.committed_epochs(lake_dir)]
-    start = 0
-    for i, m in enumerate(manifests):
-        if m.get("base"):
-            start = i
-    for m in manifests[start:]:
-        for k in sorted(cand):
-            entry = m["partitions"].get(str(k))
-            if entry:
-                files.extend(mf._entry_files(lake_dir, entry))
-    files = list(dict.fromkeys(files))
+    # manifest-pruned file set: only files visible for candidate keys
+    # (visible_entry_files handles full AND partial compaction bases)
+    vis = mf.visible_entry_files(lake_dir)
+    files = list(dict.fromkeys(
+        f for k in sorted(cand) for f in vis.get(k, [])))
 
     best: tuple[int, dict] | None = None
     for f in files:
@@ -243,17 +236,21 @@ def vacuum(lake_dir: str) -> dict:
             "live_files": len(referenced)}
 
 
-def compact(lake_dir: str) -> int:
-    """Rewrite the lake to one resolved base file per partition key.
+def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
+    """Rewrite lake data to one resolved base file per partition key.
 
-    Commits a BASE manifest — readers then ignore all earlier manifests
-    (mf.committed_files) — that PRESERVES the lake's ingest keying: a
-    direct-mode lake's base is keyed (and its files partitioned) by
-    BUCKET, a sorted-mode lake's by pid, so a resumed replay keeps its
-    mode and ``high_watermarks`` stays one consistent keying. Base rows
-    carry lsn=0 / op="I" (any later event out-lives them under LWW) and
-    n_events=0 (they are rewrites, not new WAL events — lineage event
-    sums stay equal to the WAL count). Returns the live-row count.
+    ``buckets=None`` compacts the whole lake (FULL base manifest:
+    readers then ignore all earlier manifests). ``buckets=[...]``
+    compacts only those keys (PARTIAL base): the target set is first
+    CLOSED over shared range-fragment files (a file is rewritten only
+    if every key it serves is being compacted), only those keys' files
+    are read and rewritten, and the partial base resets just their
+    visible file lists — compaction cost scales with the hot keys, not
+    the lake. Either way the base PRESERVES the lake's ingest keying
+    (bucket-keyed for direct, pid-keyed for sorted), base rows carry
+    lsn=0 / op="I" (any later event out-lives them under LWW) and
+    n_events=0 (rewrites, not WAL events — lineage event sums stay
+    equal to the WAL count). Returns the compacted live-row count.
     """
     import os
 
@@ -266,6 +263,27 @@ def compact(lake_dir: str) -> int:
     num_buckets = man.get("num_buckets")
     seq = mf.last_committed(lake_dir) + 1
     schema_b64 = schema_mod.to_b64(schema)
+
+    subset_files: list[str] | None = None
+    targets: set[int] | None = None
+    if buckets is not None:
+        vis = mf.visible_entry_files(lake_dir)
+        owners: dict[str, set[int]] = {}
+        for k, fs in vis.items():
+            for f in fs:
+                owners.setdefault(f, set()).add(k)
+        targets = set(buckets)
+        while True:  # closure over file sharing
+            grown = set().union(*(owners[f] for k in targets
+                                  for f in vis.get(k, [])), targets) \
+                if any(vis.get(k) for k in targets) else targets
+            if grown == targets:
+                break
+            targets = grown
+        subset_files = list(dict.fromkeys(
+            f for k in sorted(targets) for f in vis.get(k, [])))
+        if not subset_files:
+            return 0
 
     def _write_base(group: pa.Table) -> pa.Table:
         schema_l = schema_mod.from_b64(schema_b64)
@@ -312,7 +330,7 @@ def compact(lake_dir: str) -> int:
                              pa.array(b, pa.int32()))
         return t
 
-    resolved = read_lake(lake_dir)
+    resolved = read_lake(lake_dir, _files=subset_files)
     entries = (resolved.map_batches(_bkey, batch_format="pyarrow")
                .groupby("_bkey").map_groups(_write_base,
                                             batch_format="pyarrow"))
@@ -324,13 +342,17 @@ def compact(lake_dir: str) -> int:
     hwm = mf.high_watermarks(lake_dir)
     for p, e in partitions.items():
         e["hwm"] = max(e["hwm"], hwm.get(p, -1))
-    # keys that became empty (all rows deleted) still need their hwm
-    for p, w in hwm.items():
+    # covered keys that became empty (all rows deleted or no rows in
+    # the subset) still need their hwm carried / files reset
+    covered = (set(hwm) if targets is None else targets)
+    for p in covered:
         if p not in partitions:
             partitions[p] = {
                 "files": [], "lsn_min": -1, "lsn_max": -1, "n_events": 0,
                 "n_upserts": 0, "n_deletes": 0, "n_rows": 0,
-                "n_quarantined": 0, "checksum": "0" * 16, "hwm": w,
+                "n_quarantined": 0, "checksum": "0" * 16,
+                "hwm": hwm.get(p, -1),
             }
-    mf.commit_base(lake_dir, schema, partitions, P, mode, num_buckets)
+    mf.commit_base(lake_dir, schema, partitions, P, mode, num_buckets,
+                   partial=targets is not None)
     return int(n_live)

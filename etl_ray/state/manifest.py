@@ -143,24 +143,10 @@ def high_watermarks(lake_dir: str) -> dict[int, int]:
 
 
 def live_file_counts(lake_dir: str) -> dict[int, int]:
-    """partition-key → number of data files a reader must merge (files
-    committed since the last base, plus the base itself) — the
-    read-amplification signal that schedules compaction."""
-    epochs = committed_epochs(lake_dir)
-    manifests = [read_manifest(lake_dir, ep) for ep in epochs]
-    start = 0
-    for i, m in enumerate(manifests):
-        if m.get("base"):
-            start = i
-    counts: dict[int, int] = {}
-    for m in manifests[start:]:
-        for pid_s, entry in m["partitions"].items():
-            n = len(entry.get("files") if "files" in entry
-                    else ([entry["file"]] if entry["n_rows"] > 0 else []))
-            if n:
-                pid = int(pid_s)
-                counts[pid] = counts.get(pid, 0) + n
-    return counts
+    """partition-key → number of distinct data files a reader must
+    merge — the read-amplification signal that schedules compaction."""
+    return {k: len(dict.fromkeys(fs)) for k, fs in
+            visible_entry_files(lake_dir).items() if fs}
 
 
 def merge_entry_rows(rows: list[dict]) -> dict:
@@ -227,10 +213,13 @@ def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
 
 def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
                 num_partitions: int, mode: str,
-                num_buckets: int | None = None) -> int:
-    """Commit a compaction BASE manifest: replaces all earlier manifests
-    for readers, carries the last WAL epoch (and the lake's keying mode)
-    forward so resume and fencing are unaffected. Returns its sequence."""
+                num_buckets: int | None = None,
+                partial: bool = False) -> int:
+    """Commit a compaction BASE manifest. A full base replaces all
+    earlier manifests for readers; a PARTIAL base replaces only the
+    visible files of the keys it covers (bucket-subset compaction).
+    Carries the last WAL epoch (and the lake's keying mode) forward so
+    resume and fencing are unaffected. Returns its sequence."""
     seq = last_committed(lake_dir) + 1
     doc = {
         "epoch": last_wal_epoch(lake_dir),
@@ -240,6 +229,8 @@ def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
         "schema_b64": schema_mod.to_b64(schema),
         "partitions": {str(p): e for p, e in sorted(partitions.items())},
     }
+    if partial:
+        doc["partial"] = True
     if num_buckets is not None:
         doc["num_buckets"] = num_buckets
     _write_doc(lake_dir, seq, doc)
@@ -254,31 +245,46 @@ def _entry_files(lake_dir: str, entry: dict) -> list[str]:
             for rel in entry.get("files") or [entry["file"]]]
 
 
-def committed_files(lake_dir: str,
-                    as_of_epoch: int | None = None) -> list[str]:
-    """All delta files visible to readers (listed in committed manifests).
+def visible_entry_files(lake_dir: str,
+                        as_of_epoch: int | None = None
+                        ) -> dict[int, list[str]]:
+    """Per partition-key lists of data files a reader must merge.
 
-    A manifest with ``base: true`` (written by compaction) replaces all
-    earlier epochs — readers start from the most recent base.
-    ``as_of_epoch`` time-travels: only manifests covering WAL epochs
-    ≤ it are visible (vacuum limits how far back this reaches — pre-base
-    deltas it deleted are gone, the Delta/Iceberg VACUUM trade-off).
+    Replays the manifest log: a FULL base (``base: true``) resets every
+    key's visible set to the base's own files; a PARTIAL base
+    (``base`` + ``partial: true``, written by bucket-subset compaction)
+    resets only the keys it covers; ordinary epoch manifests append.
+    ``as_of_epoch`` time-travels by ignoring manifests past that WAL
+    epoch (vacuum limits how far back this reaches — pre-base deltas it
+    deleted are gone, the Delta/Iceberg VACUUM trade-off).
     """
     manifests = [read_manifest(lake_dir, ep)
                  for ep in committed_epochs(lake_dir)]
     if as_of_epoch is not None:
         manifests = [m for m in manifests
                      if m.get("epoch", -1) <= as_of_epoch]
-    start = 0
-    for i, m in enumerate(manifests):
+    by_key: dict[int, list[str]] = {}
+    for m in manifests:
         if m.get("base"):
-            start = i
+            if m.get("partial"):
+                for k_s in m["partitions"]:
+                    by_key[int(k_s)] = []
+            else:
+                by_key = {}
+        for k_s, entry in m["partitions"].items():
+            by_key.setdefault(int(k_s), []).extend(
+                _entry_files(lake_dir, entry))
+    return by_key
+
+
+def committed_files(lake_dir: str,
+                    as_of_epoch: int | None = None) -> list[str]:
+    """All delta files visible to readers (see visible_entry_files).
+    Range fragments are shared by several bucket entries — deduped,
+    order-preserving."""
     files = []
-    for m in manifests[start:]:
-        for entry in m["partitions"].values():
-            files.extend(_entry_files(lake_dir, entry))
-    # range fragments are shared by several bucket entries — dedupe,
-    # order-preserving
+    for fs in visible_entry_files(lake_dir, as_of_epoch).values():
+        files.extend(fs)
     return list(dict.fromkeys(files))
 
 
