@@ -76,6 +76,23 @@ def cmd_changes(args) -> dict:
             "n_upserts": int(len(df) - ops.get("D", 0))}
 
 
+def cmd_query(args) -> dict:
+    """Run one registered conformance query by name (the driver's
+    queries() surface, from the shell)."""
+    from etl_ray.pipelines.queries import QUERIES
+
+    if args.name not in QUERIES:
+        names = ", ".join(sorted(QUERIES))
+        raise SystemExit(f"unknown query {args.name!r}; one of: {names}")
+    res = QUERIES[args.name](args.sf_dir)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    out = {"query": args.name, "sf_dir": args.sf_dir, "n_rows": len(df),
+           "columns": sorted(map(str, df.columns))}
+    if args.head:
+        out["head"] = df.head(args.head).to_dict("records")
+    return out
+
+
 def cmd_lineage(args) -> dict:
     from etl_ray.state.lineage import lineage_table
 
@@ -129,6 +146,12 @@ def main(argv: list[str] | None = None) -> int:
     li = sub.add_parser("lineage")
     li.add_argument("--lake", required=True)
     li.set_defaults(fn=cmd_lineage)
+
+    q = sub.add_parser("query")
+    q.add_argument("--name", required=True)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--head", type=int, default=0)
+    q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     if args.cmd == "gen-wal" and args.repos is None:

@@ -26,6 +26,8 @@ def test_cli_end_to_end(tmp_path, capsys, ray_session):
     assert lin["n_events"] == gen["n_events"]
 
     assert main(["compact", "--lake", lake]) == 0
+    assert main(["query", "--name", "filter_rows",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < comp["live_rows"] <= gen["n_events"]
 
