@@ -26,10 +26,13 @@ def test_cli_end_to_end(tmp_path, capsys, ray_session):
     assert lin["n_events"] == gen["n_events"]
 
     assert main(["compact", "--lake", lake]) == 0
-    assert main(["query", "--name", "filter_rows",
-                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
     comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < comp["live_rows"] <= gen["n_events"]
+
+    assert main(["query", "--name", "filter_rows",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["n_rows"] > 0 and "l_orderkey" in q["columns"]
 
 
 def test_lake_read_column_pruning(tmp_path, ray_session):
