@@ -271,6 +271,38 @@ def test_incremental_sessionize_equals_batch(registry):
     assert list(batch.n_sessions) == list(inc.n_sessions)
 
 
+def test_right_and_full_outer_joins(oracle_con, registry):
+    """§2.4 J1 also promises right/full outer joins — check both
+    against DuckDB on a key range where all match classes occur
+    (matched, left-only via customers without orders, right-only via
+    the filtered order subset)."""
+    import ray.data
+
+    from etl_ray.pipelines._qutil import join_partitions, read
+
+    sf = SF_DIR
+    cust = read(sf, "customer", ["c_custkey", "c_name"])
+    orders = read(sf, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.filter(pa.compute.less(t["o_orderkey"], 2000)),
+        batch_format="pyarrow")
+    for jt, sql_join in (("right_outer", "RIGHT JOIN"),
+                         ("full_outer", "FULL JOIN")):
+        j = cust.join(orders, join_type=jt,
+                      num_partitions=join_partitions(),
+                      on=("c_custkey",), right_on=("o_custkey",))
+        got = j.to_pandas()
+        want = oracle_con.execute(f"""
+            SELECT c_custkey, c_name, o_orderkey, o_custkey
+            FROM customer {sql_join}
+                 (SELECT * FROM orders WHERE o_orderkey < 2000) o
+                 ON c_custkey = o_custkey""").df()
+        assert len(got) == len(want), jt
+        # match/null structure: compare orderkey multiset + null counts
+        assert sorted(got.o_orderkey.fillna(-1)) == \
+            sorted(want.o_orderkey.fillna(-1)), jt
+        assert got.c_name.isna().sum() == want.c_name.isna().sum(), jt
+
+
 def test_grouped_topk_matches_window_sql(oracle_con):
     """Per-group top-n must equal DuckDB's ROW_NUMBER window query."""
     from etl_ray.pipelines.relational import grouped_topk
