@@ -238,6 +238,32 @@ def test_png_codec_roundtrip_and_all_filters():
         assert (dec == img).all(), f"filter type {ft} mis-decoded"
 
 
+def test_png_codec_grayscale_and_rgba():
+    """Foreign grayscale (color 0) and RGBA (color 6) PNGs decode too."""
+    import struct
+    import zlib
+
+    from etl_ray.pipelines.multimodal import PngCodec
+
+    rng = np.random.RandomState(3)
+    for color, ch in ((0, 1), (6, 4)):
+        img = rng.randint(0, 256, (6, 5, ch), dtype=np.uint8)
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(6))
+        ihdr = struct.pack(">IIBBBBB", 5, 6, 8, color, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + PngCodec._chunk(b"IHDR", ihdr)
+               + PngCodec._chunk(b"IDAT", zlib.compress(raw))
+               + PngCodec._chunk(b"IEND", b""))
+        w, h, c, px = PngCodec.decode(png)
+        assert (w, h, c) == (5, 6, ch)
+        assert (px == img).all()
+    # 16-bit / interlaced inputs are rejected loudly, not mis-decoded
+    bad_ihdr = struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0)
+    bad = (b"\x89PNG\r\n\x1a\n" + PngCodec._chunk(b"IHDR", bad_ihdr)
+           + PngCodec._chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        PngCodec.decode(bad)
+
+
 def test_wav_codec_features():
     """Real WAV decode: sample counts exact, RMS ≈ amplitude/√2."""
     from etl_ray.pipelines.multimodal import WavCodec
