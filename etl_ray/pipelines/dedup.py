@@ -255,8 +255,72 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     return j.map_batches(_verify, batch_format="pyarrow")
 
 
+# pairs beyond this use distributed label propagation instead of the
+# driver-side union-find (pair sets are ~linear in true-dup count, so
+# the driver path is the right default at conformance scale)
+CLUSTER_DRIVER_MAX_PAIRS = 1_000_000
+
+
+def _cc_label_propagation(edges, max_rounds: int = 32) -> pa.Table:
+    """DISTRIBUTED connected components: iterative min-label propagation.
+
+    ``edges`` is a Dataset of (doc_a, doc_b) int64 pairs. Each round
+    joins current node labels onto both edge endpoints, sends
+    min(la, lb) to each endpoint, and keeps the per-node min. Labels
+    only ever decrease, so an unchanged label SUM certifies the
+    fixpoint; the mega-bucket star-pair cap keeps component diameters
+    (and hence rounds) small. Per-round cost: two hash joins + one
+    groupby over the bounded edge set.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def _init(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([t["doc_a"].to_numpy(),
+                                        t["doc_b"].to_numpy()]))
+        return pa.table({"node": pa.array(ids), "lbl": pa.array(ids)})
+
+    labels = (edges.map_batches(_init, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("lbl", alias_name="lbl"))
+              .materialize())
+    n_nodes = labels.count()
+    # modest fan-out: these label tables are ~dup-count sized; an
+    # oversized fan-out just spins empty join partitions
+    np_join = max(2, min(join_partitions(), n_nodes // 512 + 2))
+    prev_sum = None
+    for _ in range(max_rounds):
+        la = labels.rename_columns({"node": "na", "lbl": "la"})
+        lb = labels.rename_columns({"node": "nb", "lbl": "lb"})
+        e = edges.join(la, join_type="inner", num_partitions=np_join,
+                       on=("doc_a",), right_on=("na",))
+        e = e.join(lb, join_type="inner", num_partitions=np_join,
+                   on=("doc_b",), right_on=("nb",))
+
+        def _msgs(t: pa.Table) -> pa.Table:
+            m = np.minimum(t["la"].to_numpy(), t["lb"].to_numpy())
+            return pa.table({
+                "node": pa.array(np.concatenate([t["doc_a"].to_numpy(),
+                                                 t["doc_b"].to_numpy()])),
+                "lbl": pa.array(np.concatenate([m, m])),
+            })
+
+        msgs = e.map_batches(_msgs, batch_format="pyarrow")
+        labels = (labels.union(msgs).groupby("node")
+                  .aggregate(Min("lbl", alias_name="lbl")).materialize())
+        cur_sum = labels.aggregate(_Sum("lbl", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break  # labels only decrease: unchanged sum == fixpoint
+        prev_sum = cur_sum
+    t = labels.to_pandas()  # bounded: one row per clustered doc
+    return pa.table({
+        "doc_id": pa.array(t["node"].to_numpy(), pa.int64()),
+        "canon_id": pa.array(t["lbl"].to_numpy(), pa.int64()),
+        "keep": pa.array((t["node"] == t["lbl"]).to_numpy()),
+    })
+
+
 @register("dedup_clusters")
-def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+def dedup_clusters(sf_dir: str, threshold: float = 0.5,
+                   distributed: bool | None = None):
     """Near-dup CLUSTERS: verified MinHash pairs → connected components
     → canonical representative (min doc_id) per component.
 
@@ -267,15 +331,22 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
     SQL-expressible over the LSH pair set); cluster equality vs a
     brute-force closure is pinned in tests.
 
-    Scale note: the verified pair set is ~linear in the true-dup count
-    (LSH bucketing + the mega-bucket star-pair cap bound it), so the
-    union-find runs driver-side over that bounded set. The fully
-    distributed variant is iterative min-label propagation — repeat
-    (join labels onto pairs, keep per-doc min) until fixpoint, one hash
-    shuffle per round, O(log diameter) rounds — same output; star
-    pairs from capped buckets keep diameters at 2.
+    Two equivalent component engines (equality tested): driver-side
+    union-find for ≤ CLUSTER_DRIVER_MAX_PAIRS verified pairs (the pair
+    set is ~linear in true-dup count — LSH bucketing + the mega-bucket
+    star-pair cap bound it), and distributed min-label propagation
+    (_cc_label_propagation) beyond that or when ``distributed=True``.
     """
     pairs = dedup_minhash(sf_dir, threshold)
+    is_ds = not isinstance(pairs, pa.Table)
+    if is_ds:
+        pairs = pairs.materialize()  # bounded; reused by count + read
+    if distributed is None:
+        distributed = is_ds and pairs.count() > CLUSTER_DRIVER_MAX_PAIRS
+    if distributed:
+        edges = (pairs if is_ds else ray.data.from_arrow(pairs)) \
+            .select_columns(["doc_a", "doc_b"])
+        return _cc_label_propagation(edges)
     df = pairs.to_pandas() if hasattr(pairs, "to_pandas") else pairs
     parent: dict[int, int] = {}
 

@@ -118,6 +118,9 @@ def test_dedup_clusters_match_bruteforce_components(registry):
     assert (got.keep == (got.doc_id == got.canon_id)).all()
     # every canonical id is itself a kept member of its own cluster
     assert set(got[got.keep].doc_id) == set(got.canon_id)
+    # the distributed label-propagation engine agrees exactly
+    dist = _to_pandas(queries["dedup_clusters"](SF_DIR, distributed=True))
+    assert dict(zip(dist.doc_id, dist.canon_id)) == want
 
 
 def test_simhash_close_for_neardups(registry):
