@@ -42,13 +42,17 @@ class LakeSink(Datasink):
     """
 
     def __init__(self, lake_dir: str, num_partitions: int = 32,
-                 schema: pa.Schema | None = None):
+                 schema: pa.Schema | None = None,
+                 auto_compact: int | None = None):
         self.lake_dir = lake_dir
         self.num_partitions = num_partitions
         self.num_buckets = max(1, num_partitions // BUCKET_SPAN)
         self._schema = schema
         self._schema_b64 = None
         self._hwm_ref = None
+        # live-files-per-key threshold that triggers a partial
+        # compaction after the commits (mirrors cdc.replay)
+        self.auto_compact = auto_compact
 
     def on_write_start(self) -> None:
         import os
@@ -116,6 +120,13 @@ class LakeSink(Datasink):
             mf.commit_epoch(self.lake_dir, k, schema, partitions,
                             self.num_partitions, mode="direct",
                             num_buckets=self.num_buckets)
+        if self.auto_compact:
+            counts = mf.live_file_counts(self.lake_dir)
+            over = [p for p, v in counts.items() if v > self.auto_compact]
+            if over:
+                from etl_ray.state.lake import compact
+
+                compact(self.lake_dir, buckets=over)
 
     def get_name(self) -> str:
         return f"LakeSink({self.lake_dir})"

@@ -413,6 +413,20 @@ def test_lake_datasink_api(wal_dir, ref_state, tmp_path):
     assert mf.last_wal_epoch(lake) == N_EPOCHS - 1
 
 
+def test_lake_datasink_auto_compact(wal_dir, ref_state, tmp_path):
+    """A sink with auto_compact bounds live file counts after the write
+    and still converges to the reference."""
+    from etl_ray.sources.wal import read_epochs
+    from etl_ray.state.datasink import LakeSink
+
+    lake = str(tmp_path / "lake")
+    read_epochs(wal_dir, list(range(N_EPOCHS))).write_datasink(
+        LakeSink(lake, num_partitions=P, auto_compact=1))
+    counts = mf.live_file_counts(lake)
+    assert max(counts.values()) <= 1 + 1  # base (+ closure remainder)
+    assert lake_shas(lake) == ref_shas(ref_state)
+
+
 def test_lake_datasink_failed_write_commits_nothing(wal_dir, tmp_path):
     """If any write task fails, the sink's phase-2 never runs: the lake
     has NO committed manifests and its files stay invisible."""
