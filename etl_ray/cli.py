@@ -76,6 +76,13 @@ def cmd_changes(args) -> dict:
             "n_upserts": int(len(df) - ops.get("D", 0))}
 
 
+def cmd_audit(args) -> dict:
+    from etl_ray.state.lake import audit_lake
+
+    return {"lake": args.lake,
+            **audit_lake(args.lake, verify_content=args.verify_content)}
+
+
 def cmd_query(args) -> dict:
     """Run one registered conformance query by name (the driver's
     queries() surface, from the shell)."""
@@ -136,6 +143,11 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    au = sub.add_parser("audit")
+    au.add_argument("--lake", required=True)
+    au.add_argument("--verify-content", action="store_true")
+    au.set_defaults(fn=cmd_audit)
 
     ch = sub.add_parser("changes")
     ch.add_argument("--lake", required=True)

@@ -205,6 +205,91 @@ def changes_between(lake_dir: str, from_epoch: int,
         batch_format="pyarrow")
 
 
+def audit_lake(lake_dir: str, verify_content: bool = False) -> dict:
+    """AUDIT SCAN: re-verify the lake's committed checksums against the
+    bytes actually on disk (the eemeter-style audit step, turned on the
+    lake itself).
+
+    A distributed re-read of every visible delta file recomputes the
+    GLOBAL xor of content-sha256 prefixes and the total row count and
+    compares them against the same quantities folded from the committed
+    manifest entries (xor is position-invariant, so hot-key salting —
+    which makes a row's written bucket non-recomputable from its key —
+    cannot blind the check; any bit rot, truncation or tampering flips
+    the global xor). With ``verify_content=True`` the scan also
+    re-hashes ``content`` and counts rows whose stored
+    ``content_sha256`` no longer matches (a full integrity pass instead
+    of trusting stored hashes).
+    """
+    from etl_ray.util import sha256_hex_with_prefix
+
+    vis = mf.visible_entry_files(lake_dir)
+    man = mf.last_manifest(lake_dir)
+    empty = {"rows_expected": 0, "rows_scanned": 0, "checksum_ok": True,
+             "content_mismatches": 0}
+    if man is None:
+        return empty
+
+    # expected global (xor of entry checksums, sum of rows) — same
+    # per-key visibility walk as the readers, then folded
+    state: dict[int, tuple[int, int]] = {}
+    for seq in mf.committed_epochs(lake_dir):
+        m = mf.read_manifest(lake_dir, seq)
+        if m.get("base"):
+            if m.get("partial"):
+                for k_s in m["partitions"]:
+                    state[int(k_s)] = (0, 0)
+            else:
+                state = {}
+        for k_s, e in m["partitions"].items():
+            k = int(k_s)
+            cs, nr = state.get(k, (0, 0))
+            state[k] = (cs ^ int(e["checksum"], 16), nr + e["n_rows"])
+    exp_xor, exp_rows = 0, 0
+    for k in vis:
+        cs, nr = state.get(k, (0, 0))
+        exp_xor ^= cs
+        exp_rows += nr
+
+    files = list(dict.fromkeys(f for fs in vis.values() for f in fs))
+    if not files:
+        return {**empty, "rows_expected": exp_rows,
+                "checksum_ok": exp_rows == 0}
+
+    def _scan(t: pa.Table) -> pa.Table:
+        pre = np.array([int(s[:16], 16) if s is not None else 0
+                        for s in t["content_sha256"].to_pylist()],
+                       dtype=np.uint64)
+        bad = 0
+        if verify_content:
+            sha, _ = sha256_hex_with_prefix(t["content"])
+            bad = sum(1 for a, b in zip(sha.to_pylist(),
+                                        t["content_sha256"].to_pylist())
+                      if a != b)
+        x = (np.bitwise_xor.reduce(pre) if len(pre) else np.uint64(0))
+        return pa.table({
+            # signed VIEW of the uint64 xor (int64 column type)
+            "xor": pa.array([int(np.uint64(x).astype(np.int64))], pa.int64()),
+            "n": pa.array([len(t)], pa.int64()),
+            "bad_content": pa.array([bad], pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        files, columns=["content_sha256"]
+        + (["content"] if verify_content else []))
+    got = ds.map_batches(_scan, batch_format="pyarrow").to_pandas()
+    got_xor = 0
+    for x in got.xor:
+        got_xor ^= int(x) & 0xFFFFFFFFFFFFFFFF
+    rows = int(got.n.sum())
+    return {
+        "rows_expected": exp_rows,
+        "rows_scanned": rows,
+        "checksum_ok": got_xor == exp_xor and rows == exp_rows,
+        "content_mismatches": int(got.bad_content.sum()),
+    }
+
+
 def vacuum(lake_dir: str) -> dict:
     """Garbage-collect data files no committed manifest references.
 

@@ -366,6 +366,41 @@ def test_incompatible_evolution_fails_without_partial_commit(wal_dir,
     assert mf.last_wal_epoch(lake) == 1  # nothing past the checkpoint
 
 
+def test_audit_lake_detects_corruption(wal_dir, tmp_path):
+    """audit_lake passes on a healthy lake (incl. content re-hash) and
+    flags a corrupted delta file."""
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.lake import audit_lake
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    out = audit_lake(lake, verify_content=True)
+    assert out["checksum_ok"] and out["content_mismatches"] == 0
+    assert out["rows_scanned"] == out["rows_expected"] > 0
+
+    # corrupt one visible file: flip a row's content, keep stored sha
+    victim = mf.committed_files(lake)[0]
+    t = pq.read_table(victim)
+    col = t["content"].to_pylist()
+    i = next(j for j, v in enumerate(col) if v is not None)
+    col[i] = (col[i] or "") + "!corrupted!"
+    t = t.set_column(t.schema.get_field_index("content"), "content",
+                     pa.array(col, pa.string()))
+    pq.write_table(t, victim, compression="zstd")
+    out2 = audit_lake(lake, verify_content=True)
+    assert out2["content_mismatches"] >= 1
+    # and a checksum-level corruption (stored sha changed) is caught too
+    shas = t["content_sha256"].to_pylist()
+    shas[i] = "0" * 64
+    t = t.set_column(t.schema.get_field_index("content_sha256"),
+                     "content_sha256", pa.array(shas, pa.string()))
+    pq.write_table(t, victim, compression="zstd")
+    assert audit_lake(lake)["checksum_ok"] is False
+
+
 def test_vacuum_after_compact_and_crash(wal_dir, ref_state, tmp_path):
     """vacuum deletes pre-base deltas, crash orphans and stale tmp files
     but never a referenced file; the lake stays correct and resumable."""
