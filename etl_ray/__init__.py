@@ -39,6 +39,8 @@ def __getattr__(name):
         "compact": ("etl_ray.state.lake", "compact"),
         "vacuum": ("etl_ray.state.lake", "vacuum"),
         "changes_between": ("etl_ray.state.lake", "changes_between"),
+        "lookup": ("etl_ray.state.lake", "lookup"),
+        "audit_lake": ("etl_ray.state.lake", "audit_lake"),
         "LakeSink": ("etl_ray.state.datasink", "LakeSink"),
         "generate_wal": ("etl_ray.sources.wal", "generate_wal"),
         "generate_corpus": ("etl_ray.sources.corpus", "generate_corpus"),
