@@ -127,26 +127,39 @@ def window_hourly(sf_dir: str):
 @register(
     "math_funcs",
     """SELECT l_orderkey, l_linenumber,
-              round(sqrt(l_extendedprice), 4) AS sqrt_price,
-              round(ln(l_extendedprice), 6) AS ln_price,
+              CAST(ROUND(sqrt(l_extendedprice) * 10000) AS BIGINT)
+                  AS sqrt_price_e4,
+              CAST(ROUND(ln(l_extendedprice) * 1000000) AS BIGINT)
+                  AS ln_price_e6,
               ceil(l_quantity / 7) AS qty_c7,
               abs(l_discount - 0.05) AS disc_dev
        FROM lineitem""",
 )
 def math_funcs(sf_dir: str):
+    """§2.8 math kernels. sqrt/ln outputs are emitted FIXED-POINT:
+    ``round(x, n)`` as a double is hash-fragile across engines — both
+    sides round to the same abstract decimal but may pick different
+    nearest doubles (pyarrow 108.89999999999999 vs DuckDB 108.9,
+    observed at sf0.1) — whereas ``ROUND(x·10^n)`` as int64 is
+    bit-stable. Per-row arithmetic (ceil of an exact division, abs of
+    a subtraction) is IEEE-deterministic and stays double."""
+    from etl_ray.pipelines._qutil import fixed_point
+
     ds = read(sf_dir, "lineitem",
               ["l_orderkey", "l_linenumber", "l_extendedprice",
                "l_quantity", "l_discount"])
 
     def _f(t: pa.Table) -> pa.Table:
-        return pa.table({
+        out = pa.table({
             "l_orderkey": t["l_orderkey"],
             "l_linenumber": t["l_linenumber"],
-            "sqrt_price": expr.round_(expr.sqrt(t["l_extendedprice"]), 4),
-            "ln_price": expr.round_(expr.ln(t["l_extendedprice"]), 6),
+            "sqrt_price_e4": expr.sqrt(t["l_extendedprice"]),
+            "ln_price_e6": expr.ln(t["l_extendedprice"]),
             "qty_c7": expr.ceil(pc.divide(t["l_quantity"], 7)),
             "disc_dev": expr.abs_(pc.subtract(t["l_discount"], 0.05)),
         })
+        out = fixed_point(out, "sqrt_price_e4", 10000)
+        return fixed_point(out, "ln_price_e6", 1_000_000)
 
     return ds.map_batches(_f, batch_format="pyarrow")
 
