@@ -440,6 +440,8 @@ def jaccard_pairs(sf_dir: str):
         others = ray.get(ref)
         oid = others["doc_id"].to_numpy()
         osets = [frozenset(s) for s in others["text"].to_pylist()]
+        from etl_ray.pipelines._qutil import fixed_point_scalar
+
         out_a, out_b, out_j = [], [], []
         for i in range(len(t)):
             da = t["doc_id"][i].as_py()
@@ -449,9 +451,12 @@ def jaccard_pairs(sf_dir: str):
                     continue
                 sb = osets[j]
                 inter = len(sa & sb)
+                # half-away-from-zero (SQL ROUND) — Python round() is
+                # banker's and diverges on exact .5 ratios
+                out_j.append(fixed_point_scalar(
+                    inter / (len(sa) + len(sb) - inter), 10000))
                 out_a.append(da)
                 out_b.append(int(oid[j]))
-                out_j.append(round(inter / (len(sa) + len(sb) - inter) * 10000))
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                          "doc_b": pa.array(out_b, pa.int64()),
                          "jacc_e4": pa.array(out_j, pa.int64())})
