@@ -448,6 +448,26 @@ def test_lake_datasink_api(wal_dir, ref_state, tmp_path):
     assert mf.last_wal_epoch(lake) == N_EPOCHS - 1
 
 
+def test_lake_datasink_two_stage_evolution(wal_dir, ref_state, tmp_path):
+    """Two successive sink writes straddling the schema-evolution
+    boundary (epochs 0-1 narrow, 2-3 evolved) must unify schemas across
+    commits and converge to the reference."""
+    from etl_ray.sources.wal import read_epochs
+    from etl_ray.state.datasink import LakeSink
+
+    lake = str(tmp_path / "lake")
+    half = N_EPOCHS // 2
+    read_epochs(wal_dir, list(range(half))).write_datasink(
+        LakeSink(lake, num_partitions=P))
+    assert "stars" not in mf.current_schema(lake).names
+    read_epochs(wal_dir, list(range(half, N_EPOCHS))).write_datasink(
+        LakeSink(lake, num_partitions=P))
+    schema = mf.current_schema(lake)
+    assert schema.field("stars").type == "int64"
+    assert schema.field("size").type == "int64"
+    assert lake_shas(lake) == ref_shas(ref_state)
+
+
 def test_lake_datasink_auto_compact(wal_dir, ref_state, tmp_path):
     """A sink with auto_compact bounds live file counts after the write
     and still converges to the reference."""
