@@ -149,8 +149,18 @@ def list_len(a):
 
 
 def list_get(a, i: int):
-    """0-based element access (DuckDB list_extract is 1-based — adapt at call site)."""
-    return pc.list_element(a, i)
+    """0-based element access, NULL for out-of-range/null lists (DuckDB
+    list_extract semantics, which is 1-based — adapt index at call
+    site). ``pc.list_element`` raises on any too-short list, so this
+    computes flat offsets and takes with null indices instead."""
+    import numpy as np
+
+    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    starts = np.asarray(arr.offsets)[:-1]
+    ok = np.nan_to_num(lengths, nan=-1) > i
+    idx = [int(s) + i if o else None for s, o in zip(starts, ok)]
+    return pc.list_flatten(arr).take(pa.array(idx, pa.int64()))
 
 
 def list_flatten(a):

@@ -57,6 +57,49 @@ def test_prepare_events_audit_flags():
     assert reasons[0] is None and reasons[1] == "audit_failed"
 
 
+def test_expr_helpers_match_duckdb_scalars():
+    """Direct DuckDB-equivalence sweep over the expr helpers no
+    registered query exercises (power/exp/coalesce/starts_with/
+    contains/list ops/floor/epoch_seconds)."""
+    import duckdb
+
+    from etl_ray.functions import expr
+
+    con = duckdb.connect()
+    s = pa.array(["alpha", "Beta", None, "gamma ray"])
+    nums = pa.array([1.5, -2.25, 0.0, 9.0])
+    lists = pa.array([[1, 2, 3], [], [5], [7, 8]],
+                     pa.list_(pa.int64()))
+    ts = pa.array([1_700_000_000_000_000, 0, 86_400_000_000, None],
+                  pa.timestamp("us"))
+
+    def sql1(e, **kw):
+        return con.execute(f"SELECT {e}", kw or None).fetchone()[0]
+
+    assert expr.power(nums, 2).to_pylist() == \
+        [sql1(f"pow({v!r}, 2)") for v in nums.to_pylist()]
+    assert expr.exp(pa.array([0.0, 1.0])).to_pylist() == \
+        [sql1("exp(0.0)"), sql1("exp(1.0)")]
+    assert expr.floor(nums).to_pylist() == \
+        [sql1(f"floor({v!r})") for v in nums.to_pylist()]
+    assert expr.coalesce(s, pa.array(["x"] * 4)).to_pylist() == \
+        ["alpha", "Beta", "x", "gamma ray"]
+    assert expr.starts_with(s, "al").to_pylist() == \
+        [True, False, None, False]
+    assert expr.contains(s, "a ").to_pylist() == [False, False, None, True]
+    assert expr.list_len(lists).to_pylist() == [3, 0, 1, 2]
+    assert expr.list_get(lists, 0).to_pylist() == [1, None, 5, 7]
+    assert expr.list_flatten(lists).to_pylist() == [1, 2, 3, 5, 7, 8]
+    assert expr.split_ws(pa.array(["a  b c", "x"])).to_pylist() == \
+        [["a", "b", "c"], ["x"]]
+    # epoch seconds matches DuckDB epoch() on a concrete timestamp
+    got = expr.epoch_seconds(ts).to_pylist()
+    assert got[0] == 1_700_000_000 and got[1] == 0 and got[2] == 86_400
+    assert got[3] is None
+    assert expr.substr(pa.array(["abcdef"]), 2, 3).to_pylist() == \
+        [sql1("substr('abcdef', 2, 3)")]
+
+
 def test_orc_datasource_streams_stripes(tmp_path, ray_session):
     """The custom ORC datasource must stream one block per stripe and
     round-trip values exactly."""
