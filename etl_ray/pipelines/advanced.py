@@ -70,6 +70,117 @@ def asof_join(sf_dir: str):
     return ds.map_batches(_probe, batch_format="pyarrow")
 
 
+def asof_join_partitioned(sf_dir: str, n_buckets: int = 8):
+    """LARGE-LARGE as-of join: the bucketed variant the broadcast
+    `asof_join` docstring promises (unregistered; equality with the
+    broadcast/oracle result is pinned in tests).
+
+    Both sides are bucketed by fixed event-time ranges; each bucket
+    additionally receives the CARRY-IN mark (the latest rate at or
+    before its start — per-bucket maxima are a tiny groupby, the
+    forward-fill over B bucket boundaries is driver-side on B rows), so
+    every bucket resolves its as-of matches locally with one
+    `merge_asof` per group. Shuffle key = the time bucket; neither side
+    is broadcast or materialized whole.
+    """
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    ev = read(sf_dir, "events", ["event_id", "ts"])
+    b = ev.aggregate(_Min("ts", alias_name="lo"), _Max("ts", alias_name="hi"))
+    lo = pd.Timestamp(b["lo"]).value
+    hi = pd.Timestamp(b["hi"]).value
+    edges = np.array([lo + (hi - lo + 1) * i // n_buckets
+                      for i in range(n_buckets + 1)], dtype=np.int64)
+
+    unit_mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}
+
+    def _ns(col) -> np.ndarray:
+        unit = col.type.unit
+        return col.cast(pa.int64()).to_numpy() * unit_mult[unit]
+
+    # the "rates" side, derived exactly like the registered asof_join
+    # (hour marks where hour % 3 == 0) but kept DISTRIBUTED
+    def _marks(t: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(t["ts"], unit="hour")
+        hours = pc.unique(hours.combine_chunks())
+        hod = pc.hour(hours)
+        keep = hours.filter(pc.equal(
+            pc.subtract(hod, pc.multiply(pc.divide(hod, 3), 3)), 0))
+        ns = _ns(keep)
+        return pa.table({"rts_ns": pa.array(np.unique(ns)),
+                         "rate": pa.array((np.unique(ns) // 10**9) % 97)})
+
+    rates = (ev.map_batches(_marks, batch_format="pyarrow")
+             .groupby("rts_ns").aggregate(_Max("rate", alias_name="rate")))
+
+    # carry-in per bucket: latest mark at-or-before each bucket start —
+    # per-bucket maxima (tiny) + driver-side forward fill over B rows
+    def _bucket_of(ns: np.ndarray) -> np.ndarray:
+        return np.clip(np.searchsorted(edges, ns, side="right") - 1,
+                       0, n_buckets - 1)
+
+    rb = rates.map_batches(
+        lambda t: t.append_column(
+            "bucket", pa.array(_bucket_of(t["rts_ns"].to_numpy()),
+                               pa.int64())),
+        batch_format="pyarrow")
+    maxima = rb.groupby("bucket").aggregate(
+        _Max("rts_ns", alias_name="rts_ns")).to_pandas()
+    mark_max = dict(zip(maxima.bucket, maxima.rts_ns))
+    carry_rows = []
+    last = None
+    for bkt in range(n_buckets):
+        if last is not None:
+            carry_rows.append({"kind": "r", "bucket": bkt, "ts_ns": last,
+                               "event_id": -1, "rate": (last // 10**9) % 97})
+        if bkt in mark_max:
+            last = int(mark_max[bkt])
+    carry = ray.data.from_arrow(pa.Table.from_pylist(
+        carry_rows, schema=pa.schema([
+            ("kind", pa.string()), ("bucket", pa.int64()),
+            ("ts_ns", pa.int64()), ("event_id", pa.int64()),
+            ("rate", pa.int64())]))) if carry_rows else None
+
+    def _tag_rates(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "kind": pa.array(["r"] * len(t)),
+            "bucket": t["bucket"].cast(pa.int64()),
+            "ts_ns": t["rts_ns"],
+            "event_id": pa.array(np.full(len(t), -1, np.int64)),
+            "rate": t["rate"].cast(pa.int64()),
+        })
+
+    def _tag_events(t: pa.Table) -> pa.Table:
+        ns = _ns(t["ts"].combine_chunks())
+        return pa.table({
+            "kind": pa.array(["e"] * len(t)),
+            "bucket": pa.array(_bucket_of(ns)),
+            "ts_ns": pa.array(ns),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "rate": pa.array(np.full(len(t), -1, np.int64)),
+        })
+
+    both = rb.map_batches(_tag_rates, batch_format="pyarrow").union(
+        ev.map_batches(_tag_events, batch_format="pyarrow"))
+    if carry is not None:
+        both = both.union(carry)
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g.kind == "r"].sort_values("ts_ns")
+        e = g[g.kind == "e"].sort_values("ts_ns")
+        if len(e) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "rate": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(e[["ts_ns", "event_id"]], r[["ts_ns", "rate"]],
+                          on="ts_ns", direction="backward")
+        m = m.dropna(subset=["rate"])  # inner semantics: pre-first-mark out
+        return pd.DataFrame({"event_id": m.event_id.astype("int64"),
+                             "rate": m.rate.astype("int64")})
+
+    return both.groupby("bucket").map_groups(_merge, batch_format="pandas")
+
+
 # --------------------------------------------------------- window analytics
 
 

@@ -300,6 +300,21 @@ def test_incremental_sessionize_equals_batch(registry):
     assert list(batch.n_sessions) == list(inc.n_sessions)
 
 
+def test_partitioned_asof_join_equals_broadcast(registry):
+    """The large-large bucketed as-of join must produce exactly the
+    broadcast asof_join result (which is itself oracle-checked)."""
+    from etl_ray.pipelines.advanced import asof_join_partitioned
+
+    queries, _ = registry
+    want = _to_pandas(queries["asof_join"](SF_DIR)) \
+        .sort_values("event_id").reset_index(drop=True)
+    got = _to_pandas(asof_join_partitioned(SF_DIR, n_buckets=5)) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got.event_id) == list(want.event_id)
+    assert list(got.rate) == list(want.rate)
+
+
 def test_right_and_full_outer_joins(oracle_con, registry):
     """§2.4 J1 also promises right/full outer joins — check both
     against DuckDB on a key range where all match classes occur
