@@ -357,6 +357,51 @@ def join_star_region(sf_dir: str):
 # -------------------------------------------------- sort / distinct / set ops
 
 
+def pivot_qty_by_status(sf_dir: str):
+    """PIVOT: one row per l_returnflag, one column per l_linestatus
+    value, cells = sum(l_quantity) — conditional-sum partials per block
+    (the scale shape: the shuffle moves one tiny partial row per group
+    per block), then a grouped merge. Unregistered; DuckDB-equivalence
+    pinned in tests. The inverse is :func:`unpivot_qty`."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ds = read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"]
+        out = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty_F": pc.if_else(pc.equal(t["l_linestatus"], "F"), qty, 0.0),
+            "qty_O": pc.if_else(pc.equal(t["l_linestatus"], "O"), qty, 0.0),
+        })
+        g = out.group_by("l_returnflag").aggregate(
+            [("qty_F", "sum"), ("qty_O", "sum")])
+        return g.rename_columns(["l_returnflag", "qty_F", "qty_O"])
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(_Sum("qty_F", alias_name="qty_F"),
+                       _Sum("qty_O", alias_name="qty_O")))
+
+
+def unpivot_qty(ds) -> "ray.data.Dataset":
+    """UNPIVOT/melt: the inverse of :func:`pivot_qty_by_status` —
+    (l_returnflag, qty_F, qty_O) rows become
+    (l_returnflag, l_linestatus, qty) pairs, vectorized per batch."""
+    def _melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "l_returnflag": pa.concat_arrays(
+                [t["l_returnflag"].combine_chunks()] * 2),
+            "l_linestatus": pa.array(["F"] * n + ["O"] * n, pa.string()),
+            "qty": pa.concat_arrays([t["qty_F"].combine_chunks(),
+                                     t["qty_O"].combine_chunks()]),
+        })
+
+    return ds.map_batches(_melt, batch_format="pyarrow")
+
+
 def grouped_topk(sf_dir: str, n: int = 3):
     """Per-group top-n — the ROW_NUMBER() OVER (PARTITION BY key ORDER
     BY val DESC) <= n window class (unregistered; DuckDB-equivalence

@@ -300,6 +300,33 @@ def test_incremental_sessionize_equals_batch(registry):
     assert list(batch.n_sessions) == list(inc.n_sessions)
 
 
+def test_pivot_unpivot_roundtrip(oracle_con):
+    """Pivot matches the CASE-sum SQL; unpivot inverts it exactly."""
+    from etl_ray.pipelines.relational import (pivot_qty_by_status,
+                                              unpivot_qty)
+
+    piv = pivot_qty_by_status(SF_DIR)
+    got = piv.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+    want = oracle_con.execute("""
+        SELECT l_returnflag,
+          SUM(CASE WHEN l_linestatus='F' THEN l_quantity ELSE 0 END) qty_F,
+          SUM(CASE WHEN l_linestatus='O' THEN l_quantity ELSE 0 END) qty_O
+        FROM lineitem GROUP BY l_returnflag
+        ORDER BY l_returnflag""").df()
+    assert list(got.l_returnflag) == list(want.l_returnflag)
+    assert np.allclose(got.qty_F, want.qty_F)
+    assert np.allclose(got.qty_O, want.qty_O)
+    # unpivot inverts: one (flag, status) row per cell with same sums
+    melted = unpivot_qty(pivot_qty_by_status(SF_DIR)).to_pandas()
+    assert len(melted) == 2 * len(got)
+    back = melted.pivot_table(index="l_returnflag",
+                              columns="l_linestatus", values="qty",
+                              aggfunc="sum").reset_index()
+    back = back.sort_values("l_returnflag").reset_index(drop=True)
+    assert np.allclose(back["F"], want.qty_F)
+    assert np.allclose(back["O"], want.qty_O)
+
+
 def test_partitioned_asof_join_equals_broadcast(registry):
     """The large-large bucketed as-of join must produce exactly the
     broadcast asof_join result (which is itself oracle-checked)."""
