@@ -464,6 +464,67 @@ def jaccard_pairs(sf_dir: str):
     return small.map_batches(_pairs, batch_format="pyarrow")
 
 
+def levenshtein_pairs(sf_dir: str, max_id: int = 20, prefix_len: int = 120):
+    """Edit-distance similarity on doc pairs (T4 family, unregistered;
+    DuckDB `levenshtein` equivalence pinned in tests).
+
+    pyarrow ships no edit-distance kernel, so the DP runs row-wise
+    vectorized in numpy (each DP row is one vectorized minimum over the
+    previous row — O(len_a) python steps per pair, O(len_a·len_b) cells
+    total). The pair frame is bounded by construction (id range ×
+    prefix truncation), same broadcast shape as `jaccard_pairs`."""
+    import pyarrow.parquet as pq
+
+    def _lev(a: str, b: str) -> int:
+        if not a:
+            return len(b)
+        if not b:
+            return len(a)
+        av = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+        bv = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+        rng = np.arange(len(bv) + 1, dtype=np.int64)
+        prev = rng.copy()
+        for i, ca in enumerate(av):
+            cur = np.empty(len(bv) + 1, dtype=np.int64)
+            cur[0] = i + 1
+            cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bv != ca))
+            # fold in the insertion chain cur[j] = min_k≤j cur[k]+(j-k):
+            # exactly a prefix-min of (cur[k]-k), re-shifted by +j
+            cur = np.minimum.accumulate(cur - rng) + rng
+            prev = cur
+        return int(prev[-1])
+
+    others = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", max_id)])
+    ref = ray.put(others)
+
+    docs = read(sf_dir, "documents", ["doc_id", "text"])
+    small = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], max_id)),
+        batch_format="pyarrow")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        o = ray.get(ref)
+        oid = o["doc_id"].to_numpy()
+        otxt = [s[:prefix_len] for s in o["text"].to_pylist()]
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(t)):
+            da = t["doc_id"][i].as_py()
+            sa = t["text"][i].as_py()[:prefix_len]
+            for j in range(len(o)):
+                if oid[j] <= da:
+                    continue
+                out_a.append(da)
+                out_b.append(int(oid[j]))
+                out_d.append(_lev(sa, otxt[j]))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+    return small.map_batches(_pairs, batch_format="pyarrow")
+
+
 @register(
     "embedding_neardup",
     """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -96,6 +96,24 @@ def test_minhash_finds_true_neardups(registry):
     assert got_pairs == want
 
 
+def test_levenshtein_pairs_match_duckdb(oracle_con):
+    """The numpy DP edit distance must equal DuckDB levenshtein() on
+    every doc pair in the bounded frame."""
+    from etl_ray.pipelines.dedup import levenshtein_pairs
+
+    got = _to_pandas(levenshtein_pairs(SF_DIR, max_id=12, prefix_len=80)) \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    want = oracle_con.execute("""
+        SELECT a.doc_id doc_a, b.doc_id doc_b,
+               levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) dist
+        FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+        WHERE a.doc_id < 12 AND b.doc_id < 12
+        ORDER BY doc_a, doc_b""").df()
+    assert list(got.doc_a) == list(want.doc_a)
+    assert list(got.doc_b) == list(want.doc_b)
+    assert list(got.dist) == list(want.dist)
+
+
 def test_dedup_clusters_match_bruteforce_components(registry):
     """Connected components over verified near-dup pairs must equal the
     transitive closure of the brute-force >=0.5-Jaccard pair graph, with
