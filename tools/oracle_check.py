@@ -6,17 +6,21 @@ DuckDB — the same comparison shape as CORRECTNESS_r{N}.json. Entries
 without oracle SQL get a rows-only report.
 
 Usage:  python tools/oracle_check.py [name ...]   (default: all)
+        ORACLE_SF=/root/testdata/sf0.1 python tools/oracle_check.py
+        (the sf0.1 sweep catches value-representation bugs — e.g.
+        round(x,n) double divergence — that the sf0.01 gate can miss)
 """
 
 from __future__ import annotations
 
 import hashlib
+import os as _os
 import sys
 import time
 
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = _os.environ.get("ORACLE_SF", "/root/testdata/sf0.01")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
