@@ -27,7 +27,7 @@ from ray.data.aggregate import Min
 
 from etl_ray.pipelines._qutil import join_partitions, read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import sha256_hex_array
+from etl_ray.util import hash64_str, sha256_hex_array
 
 # ------------------------------------------------------------- exact dedup
 
@@ -70,9 +70,7 @@ def _shingle_hashes(t: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     toks = pc.split_pattern(t["text"], " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks).to_numpy()
-    flat = pd.util.hash_array(
-        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
-        categorize=False)
+    flat = hash64_str(pc.list_flatten(toks))
     B = np.uint64(1099511628211)
     weights = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
     out_h: list[np.ndarray] = []
@@ -384,9 +382,7 @@ def simhash_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
     toks = pc.split_pattern(t[text_col], " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks).to_numpy()
-    flat = pd.util.hash_array(
-        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
-        categorize=False)
+    flat = hash64_str(pc.list_flatten(toks))
     seg = np.arange(len(t)).repeat(lengths)
     # ±1 per bit per token, summed per doc
     signs = (((flat[:, None] >> _SIM_BITS) & np.uint64(1)).astype(np.int32) * 2 - 1)

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
+from etl_ray.util import hash64_str
 
 
 def _token_lists(t: pa.Table, col: str = "text"):
@@ -132,9 +133,7 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
     """
     toks = _token_lists(t, text_col)
     lengths = pc.list_value_length(toks).to_numpy()
-    flat = pd.util.hash_array(
-        np.asarray(pc.list_flatten(toks).to_pandas(), dtype=object),
-        categorize=False)
+    flat = hash64_str(pc.list_flatten(toks))
     fps = np.zeros(len(t), dtype=np.uint64)
     weights = _FP_B ** np.arange(FP_W - 1, -1, -1, dtype=np.uint64)
     pos = 0

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from etl_ray.sources.corpus import _VOCAB, SEED
-from etl_ray.util import hash64_str
+from etl_ray.util import key_hash64
 
 DELETE_P = 0.15
 ZIPF_A = 1.3
@@ -84,9 +84,7 @@ def _synth_events(batch: pa.Table, n_repos: int, n_epochs: int, seed: int,
     """Vectorized per-key lifecycle synthesis (module docstring)."""
     B = len(batch)
     repos = pd.Series(batch["repo"].to_pandas())
-    kh = hash64_str(pc.binary_join_element_wise(
-        batch["repo"].combine_chunks(), batch["path"].combine_chunks(), "\x00"))
-    kh = kh ^ np.uint64(seed)
+    kh = key_hash64(batch, ["repo", "path"]) ^ np.uint64(seed)
 
     # geometric(update_p) update count: N = floor(ln(U) / ln(p))
     u_upd = np.maximum(_unit(_mix64(kh ^ _C_UPD)), 1e-300)

@@ -23,8 +23,7 @@ import ray.data
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
 from etl_ray.state.merge import KEY_COLS
-from etl_ray.util import (add_pid_column, hash64_str, key_concat,
-                          lww_keep_indices)
+from etl_ray.util import add_pid_column, key_hash64, lww_keep_indices
 
 
 def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
@@ -36,12 +35,12 @@ def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
     falls back to the string-keyed duplicated() path.
     """
     lsn = group["lsn"].to_numpy()
-    keys = key_concat(group, KEY_COLS)
-    kh = hash64_str(keys)
-    keep, mixed = lww_keep_indices(kh, lsn, keys)
+    kh = key_hash64(group, KEY_COLS)
+    keep, mixed = lww_keep_indices(kh, lsn, group.select(KEY_COLS))
     if mixed:  # two distinct keys share a 64-bit hash in this partition
         order = np.argsort(-lsn, kind="stable")
-        keep_m = ~pd.Series(keys.to_pandas()).iloc[order].duplicated().to_numpy()
+        df = group.select(KEY_COLS).to_pandas()
+        keep_m = ~df.iloc[order].duplicated().to_numpy()
         keep = np.sort(order[keep_m])
     latest = group.take(pa.array(keep))
     if keep_deletes:
@@ -139,7 +138,8 @@ def lookup(lake_dir: str, repo: str, path: str) -> dict | None:
         return None
     P = man["num_partitions"]
     mode = mf.lake_mode(lake_dir) or "sorted"
-    kh = int(hash64_str(pa.array([f"{repo}\x00{path}"]))[0])
+    kh = int(key_hash64(pa.table({"repo": pa.array([repo]),
+                                  "path": pa.array([path])}), KEY_COLS)[0])
     # candidate partition keys: the key's own pid PLUS its salt span (a
     # hot epoch may have routed some of its events to salted pids)
     cand = {(kh + s) % P for s in range(SALT_FACTOR)}

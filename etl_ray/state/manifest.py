@@ -40,6 +40,7 @@ import tempfile
 import pyarrow as pa
 
 from etl_ray.state import schema as schema_mod
+from etl_ray.util import KEY_HASH_VERSION
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
@@ -198,10 +199,12 @@ def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
         raise EpochFencingError(
             f"cannot commit epoch {epoch}: last committed is {last_wal} "
             "(epochs are fenced to commit monotonically, no gaps)")
+    _check_key_hash(lake_dir)
     doc = {
         "epoch": epoch,
         "num_partitions": num_partitions,
         "mode": mode,
+        "key_hash_version": KEY_HASH_VERSION,
         "schema_b64": schema_mod.to_b64(schema),
         "partitions": {str(p): e for p, e in sorted(partitions.items())},
     }
@@ -209,6 +212,21 @@ def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
         doc["num_buckets"] = num_buckets
     _write_doc(lake_dir, last_committed(lake_dir) + 1, doc)
     return True
+
+
+def _check_key_hash(lake_dir: str) -> None:
+    """Partition routing (pid/bucket per key) is persisted in the
+    manifest log; mixing manifests written under different key-hash
+    functions silently misroutes reads, so refuse loudly."""
+    man = last_manifest(lake_dir)
+    if man is None:
+        return
+    ver = man.get("key_hash_version", 1)
+    if ver != KEY_HASH_VERSION:
+        raise RuntimeError(
+            f"lake at {lake_dir} was written with key_hash_version={ver}; "
+            f"this build routes keys with version {KEY_HASH_VERSION} — "
+            "fully compact/rewrite the lake before extending it")
 
 
 def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
@@ -220,12 +238,14 @@ def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
     visible files of the keys it covers (bucket-subset compaction).
     Carries the last WAL epoch (and the lake's keying mode) forward so
     resume and fencing are unaffected. Returns its sequence."""
+    _check_key_hash(lake_dir)
     seq = last_committed(lake_dir) + 1
     doc = {
         "epoch": last_wal_epoch(lake_dir),
         "num_partitions": num_partitions,
         "mode": mode,
         "base": True,
+        "key_hash_version": KEY_HASH_VERSION,
         "schema_b64": schema_mod.to_b64(schema),
         "partitions": {str(p): e for p, e in sorted(partitions.items())},
     }

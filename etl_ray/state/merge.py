@@ -30,8 +30,8 @@ import ray
 
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.util import (add_pid_column, hash64_str, key_concat,
-                          lww_keep_indices, sha256_hex_with_prefix)
+from etl_ray.util import (add_pid_column, key_hash64, lww_keep_indices,
+                          sha256_hex_with_prefix)
 
 KEY_COLS = ["repo", "path"]
 META_COLS = ["lsn", "epoch", "op"]
@@ -95,8 +95,9 @@ def prepare_events(num_partitions: int):
         # mode) ship 64 hex chars/row through the shuffle.
         # key hash computed ONCE; pid, salting and the downstream LWW
         # reduce all reuse it (the string keys are only re-touched to
-        # verify hash-adjacent equality)
-        kh = hash64_str(key_concat(t, KEY_COLS))
+        # verify hash-adjacent equality). Buffer-level row hash — no
+        # concatenated key string, no per-row Python objects.
+        kh = key_hash64(t, KEY_COLS)
         t = t.append_column("_kh", pa.array(kh, pa.uint64()))
         pid = (kh % np.uint64(num_partitions)).astype(np.int32)
         # hot-key salting (per-batch detection on the hash — stateless,
@@ -164,11 +165,10 @@ class MergeApplier:
             # from pathological hash collisions resolve at merge-on-read
             if "_kh" in group.column_names:
                 keep, _ = lww_keep_indices(group["_kh"].to_numpy(), lsn,
-                                           key_concat(group, KEY_COLS))
+                                           group.select(KEY_COLS))
             else:  # compaction path feeds pre-resolved rows without _kh
-                kh = hash64_str(key_concat(group, KEY_COLS))
-                keep, _ = lww_keep_indices(kh, lsn,
-                                           key_concat(group, KEY_COLS))
+                kh = key_hash64(group, KEY_COLS)
+                keep, _ = lww_keep_indices(kh, lsn, group.select(KEY_COLS))
             # single take: dedup + deterministic lsn order for
             # idempotent retries
             fin = keep[np.argsort(lsn[keep], kind="stable")]
@@ -304,7 +304,8 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
             # crash-consistent per-epoch commits.
             kh = batch["_kh"].to_numpy()
             keep_g, _ = lww_keep_indices(
-                kh[gi], lsn[gi], key_concat(batch, KEY_COLS).take(pa.array(gi)),
+                kh[gi], lsn[gi],
+                batch.select(KEY_COLS).take(pa.array(gi)),
                 extra=epochs[gi])
             keep = gi[keep_g]
             # one take: dedup + (epoch, bucket, lsn) file order together

@@ -12,12 +12,18 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
+import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Separator that cannot appear in repo/path values (they are printable).
-_KEY_SEP = "\x00"
+# Version tag for the key-hash function (recorded in lake manifests:
+# partition routing is persisted, so a lake written under one hash
+# version must never be read/extended under another).
+#   v1: pandas siphash over per-row Python string objects (round 1-2)
+#   v2: polars row hash over Arrow buffers (no per-row Python string
+#       materialization — the v1 path built tens of millions of
+#       transient PyObjects per bench replay and dominated DRAM traffic)
+KEY_HASH_VERSION = 2
 
 
 def sha256_hex_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -63,38 +69,40 @@ def sha256_hex_with_prefix(
 
 
 def hash64_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic vectorized 64-bit hash of a string column.
+    """Deterministic vectorized 64-bit hash of one column.
 
-    Uses pandas' siphash (C-vectorized, fixed default key, independent of
-    PYTHONHASHSEED) so partition routing is stable across processes and
-    across resume — required for manifest-recorded partition ownership.
+    Runs at Arrow-buffer level (polars' native row hash, fixed seed) —
+    no per-row Python object materialization. Stable across processes
+    and across resume for a fixed polars version (verified by test);
+    any value change must bump KEY_HASH_VERSION because partition
+    routing is persisted in lake manifests.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    arr = np.asarray(col.to_pandas(), dtype=object)
-    # categorize=False is required for value-determinism: pandas 2.2's
-    # categorize fast path hashes the *dictionary* representation and
-    # yields different digests for the same value in different arrays.
-    return pd.util.hash_array(arr, categorize=False)
+    return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
 
 
-def key_concat(tbl: pa.Table, cols: list[str]) -> pa.Array:
-    """NUL-joined concatenation of key columns (vectorized)."""
-    arrays = [pc.cast(tbl[c], pa.string()) for c in cols]
-    if len(arrays) == 1:
-        return arrays[0].combine_chunks() if isinstance(arrays[0], pa.ChunkedArray) else arrays[0]
-    return pc.binary_join_element_wise(*arrays, _KEY_SEP)
+def key_hash64(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash of a multi-column key, buffer-level.
+
+    Hashes the columns TOGETHER (polars ``hash_rows``) — no
+    intermediate concatenated string column is ever built, which
+    halves the string-allocation traffic of the ingest hot path.
+    """
+    return (pl.from_arrow(tbl.select(cols)).hash_rows(seed=0)
+            .to_numpy().astype(np.uint64))
 
 
 def add_pid_column(tbl: pa.Table, key_cols: list[str], num_partitions: int,
                    pid_col: str = "pid") -> pa.Table:
     """Append a stable hash-partition id column ``pid = h64(key) % P``."""
-    keys = key_concat(tbl, key_cols)
-    pid = (hash64_str(keys) % np.uint64(num_partitions)).astype(np.int32)
+    pid = (key_hash64(tbl, key_cols)
+           % np.uint64(num_partitions)).astype(np.int32)
     return tbl.append_column(pid_col, pa.array(pid, type=pa.int32()))
 
 
-def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray, keys: pa.Array,
+def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray,
+                     keys: pa.Table | pa.Array,
                      extra: np.ndarray | None = None
                      ) -> tuple[np.ndarray, bool]:
     """Exact vectorized last-writer-wins keep-set.
@@ -103,11 +111,14 @@ def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray, keys: pa.Array,
     flag). Rows are grouped by the 64-bit key hash ``kh`` (plus the
     optional ``extra`` int grouping, e.g. epoch) and sorted lsn-desc;
     a row is a duplicate only if BOTH its hash-run neighbour's hash AND
-    its actual key string match — so a hash collision can never drop a
-    distinct key. The pathological interleave (two different keys
-    sharing one hash, alternating within the run) under-dedups — extra
-    rows are kept, never lost; callers needing exactly-one-row-per-key
-    re-run the string-keyed path when ``mixed_run`` is True.
+    its actual key match — so a hash collision can never drop a
+    distinct key. ``keys`` is the key columns as a Table (compared
+    per-column on hash-adjacent rows only — no concatenated key string
+    is ever built) or a single Array. The pathological interleave (two
+    different keys sharing one hash, alternating within the run)
+    under-dedups — extra rows are kept, never lost; callers needing
+    exactly-one-row-per-key re-run the string-keyed path when
+    ``mixed_run`` is True.
     """
     if extra is None:
         order = np.lexsort((-lsn, kh))
@@ -121,10 +132,16 @@ def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray, keys: pa.Array,
     eq = np.concatenate([[False], eq])
     if not eq.any():
         return np.sort(order), False
-    ks = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
-          else keys).take(pa.array(order))
-    eq_key = np.concatenate([[False], pc.equal(
-        ks.slice(1), ks.slice(0, len(ks) - 1)).to_numpy(zero_copy_only=False)])
+    cols = (keys.columns if isinstance(keys, pa.Table) else [keys])
+    ord_arr = pa.array(order)
+    eq_key: np.ndarray | None = None
+    for c in cols:
+        cs = (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+              else c).take(ord_arr)
+        e = pc.fill_null(pc.equal(cs.slice(1), cs.slice(0, len(cs) - 1)),
+                         False).to_numpy(zero_copy_only=False)
+        eq_key = e if eq_key is None else (eq_key & e)
+    eq_key = np.concatenate([[False], eq_key])
     dup = eq & eq_key
     mixed = bool((eq & ~eq_key).any())
     return np.sort(order[~dup]), mixed

@@ -165,13 +165,18 @@ def test_step_pipeline_compose(ray_session):
 
 
 def test_pid_routing_stable_across_processes():
-    """hash64_str must be process-stable (manifest-recorded partition
-    ownership depends on it)."""
-    from etl_ray.util import hash64_str
+    """hash64_str / key_hash64 must be process-stable (manifest-recorded
+    partition ownership depends on them). Golden constants pin the
+    polars row-hash values: if a library upgrade changes them,
+    KEY_HASH_VERSION must be bumped (manifest.py fences mixed lakes)."""
+    from etl_ray.util import hash64_str, key_hash64
 
     arr = pa.array(["org0/repo0\x00src/a.py", "b", "c"])
     h = hash64_str(arr)
-    # golden values: recomputed constants guard against silent changes
-    # in pandas' hashing defaults (categorize must stay False)
     assert h.dtype == np.uint64
-    assert list(h) == list(hash64_str(arr))
+    assert list(h) == [8268208477124168340, 1337274829852096493,
+                       10257678464519005255]
+    t = pa.table({"repo": pa.array(["org0/repo0", "org1/r", "x"]),
+                  "path": pa.array(["src/a.py", "lib/b.rs", "y"])})
+    assert list(key_hash64(t, ["repo", "path"])) == [
+        16257734406611662070, 12533470933925625283, 11312593743846405611]
