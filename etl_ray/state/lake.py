@@ -53,7 +53,8 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
               keep_sha: bool = True,
               columns: list[str] | None = None,
               as_of_epoch: int | None = None,
-              _files: list[str] | None = None) -> "ray.data.Dataset":
+              _files: list[str] | None = None,
+              _keep_deletes: bool = False) -> "ray.data.Dataset":
     """Scan the converged state of the lake (merge-on-read).
 
     ``columns`` prunes the payload at the Parquet read — only the
@@ -111,7 +112,9 @@ def read_lake(lake_dir: str, num_partitions: int | None = None,
                              (read_cols if read_cols is not None else by_name)])
     ds = ray.data.read_parquet(files, columns=read_cols, schema=read_schema)
     ds = ds.map_batches(_conform, batch_format="pyarrow")
-    out = ds.groupby("upid").map_groups(_resolve_group, batch_format="pyarrow")
+    out = ds.groupby("upid").map_groups(
+        lambda g: _resolve_group(g, keep_deletes=_keep_deletes),
+        batch_format="pyarrow")
     if not keep_sha:
         out = out.drop_columns(["content_sha256"])
     return out
@@ -325,17 +328,32 @@ def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
     """Rewrite lake data to one resolved base file per partition key.
 
     ``buckets=None`` compacts the whole lake (FULL base manifest:
-    readers then ignore all earlier manifests). ``buckets=[...]``
-    compacts only those keys (PARTIAL base): the target set is first
-    CLOSED over shared range-fragment files (a file is rewritten only
-    if every key it serves is being compacted), only those keys' files
-    are read and rewritten, and the partial base resets just their
-    visible file lists — compaction cost scales with the hot keys, not
-    the lake. Either way the base PRESERVES the lake's ingest keying
-    (bucket-keyed for direct, pid-keyed for sorted), base rows carry
-    lsn=0 / op="I" (any later event out-lives them under LWW) and
-    n_events=0 (rewrites, not WAL events — lineage event sums stay
-    equal to the WAL count). Returns the compacted live-row count.
+    readers then ignore all earlier manifests); base rows carry lsn=0 /
+    op="I" (everything else is reset, so any later event out-lives them
+    under LWW) and tombstones are dropped. ``buckets=[...]`` compacts
+    only those keys (PARTIAL base), with the target set CLOSED twice
+    before anything is rewritten:
+
+    1. over shared range-fragment files (a file is rewritten only if
+       every key it serves is being compacted), and
+    2. over the NATURAL bucket of every row found in those files — a
+       hot-key-salted event lives under bucket(hash+salt) but its base
+       row must land in (and therefore reset) bucket(hash); without
+       this closure a partial base for a salted bucket would reset a
+       bucket whose deltas were never read, silently losing every
+       other key in it (a cheap key-columns-only distributed scan of
+       the candidate files drives the expansion to a fixpoint).
+
+    Partial-base rows additionally keep their REAL lsn/op — including
+    delete tombstones: a compacted key may still have salted rows in
+    un-compacted buckets, and only true lsns let merge-on-read resolve
+    those leftovers correctly (lsn=0 would resurrect them; a dropped
+    tombstone would resurrect an older salted upsert).
+
+    Either way the base PRESERVES the lake's ingest keying (bucket-
+    keyed for direct, pid-keyed for sorted) and n_events=0 (rewrites,
+    not WAL events — lineage event sums stay equal to the WAL count).
+    Returns the compacted live-row count.
     """
     import os
 
@@ -349,6 +367,28 @@ def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
     seq = mf.last_committed(lake_dir) + 1
     schema_b64 = schema_mod.to_b64(schema)
 
+    def _bkey(t: pa.Table) -> pa.Table:
+        t = add_pid_column(t, KEY_COLS, P, pid_col="_bkey")
+        if mode == "direct" and num_buckets:
+            b = (t["_bkey"].to_numpy().astype(np.int64)
+                 * num_buckets // P).astype(np.int32)
+            t = t.set_column(t.schema.get_field_index("_bkey"), "_bkey",
+                             pa.array(b, pa.int32()))
+        return t
+
+    def _natural_keys(files: list[str]) -> set[int]:
+        """Distinct natural entry-keys of the rows in ``files`` — a
+        key-columns-only distributed scan (per-block distinct, tiny
+        driver merge)."""
+
+        def _d(t: pa.Table) -> pa.Table:
+            b = _bkey(t)["_bkey"].to_numpy()
+            return pa.table({"k": pa.array(np.unique(b), pa.int32())})
+
+        ds = ray.data.read_parquet(files, columns=list(KEY_COLS))
+        return {r["k"] for r in
+                ds.map_batches(_d, batch_format="pyarrow").take_all()}
+
     subset_files: list[str] | None = None
     targets: set[int] | None = None
     if buckets is not None:
@@ -358,33 +398,51 @@ def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
             for f in fs:
                 owners.setdefault(f, set()).add(k)
         targets = set(buckets)
-        while True:  # closure over file sharing
-            grown = set().union(*(owners[f] for k in targets
-                                  for f in vis.get(k, [])), targets) \
-                if any(vis.get(k) for k in targets) else targets
-            if grown == targets:
+        while True:
+            while True:  # closure 1: shared range-fragment files
+                grown = set().union(*(owners[f] for k in targets
+                                      for f in vis.get(k, [])), targets) \
+                    if any(vis.get(k) for k in targets) else targets
+                if grown == targets:
+                    break
+                targets = grown
+            subset_files = list(dict.fromkeys(
+                f for k in sorted(targets) for f in vis.get(k, [])))
+            if not subset_files:
+                return 0
+            # closure 2: natural buckets of salted rows (see docstring)
+            extra = _natural_keys(subset_files) - targets
+            if not extra:
                 break
-            targets = grown
-        subset_files = list(dict.fromkeys(
-            f for k in sorted(targets) for f in vis.get(k, [])))
-        if not subset_files:
-            return 0
+            targets |= extra
+
+    is_partial = targets is not None
 
     def _write_base(group: pa.Table) -> pa.Table:
         schema_l = schema_mod.from_b64(schema_b64)
         key = int(group["_bkey"][0].as_py())
-        g = group.drop_columns(["_bkey"])
+        g0 = group.drop_columns(["_bkey"])
+        if is_partial:  # real lsn/op survive the conform, re-appended
+            lsn_arr = g0["lsn"].combine_chunks()
+            op_arr = g0["op"].combine_chunks()
         g = schema_mod.conform(
-            g.drop_columns([c for c in g.column_names
-                            if c not in schema_l.names
-                            and c != "content_sha256"]), schema_l)
-        g = g.append_column("lsn", pa.array(np.zeros(len(g), np.int64)))
-        g = g.append_column("op", pa.array(["I"] * len(g), pa.string()))
+            g0.drop_columns([c for c in g0.column_names
+                             if c not in schema_l.names
+                             and c != "content_sha256"]), schema_l)
+        if is_partial:
+            g = g.append_column("lsn", lsn_arr)
+            g = g.append_column("op", op_arr)
+        else:
+            g = g.append_column("lsn", pa.array(np.zeros(len(g), np.int64)))
+            g = g.append_column("op", pa.array(["I"] * len(g), pa.string()))
         g = g.append_column("content_sha256", group["content_sha256"])
         checksum = 0
         for sh in g["content_sha256"].to_pylist():
             if sh is not None:
                 checksum ^= int(sh[:16], 16)
+        lsn_np = g["lsn"].to_numpy()
+        n_tomb = int(pc.sum(pc.cast(pc.equal(g["op"], "D"),
+                                    pa.int64())).as_py() or 0)
         sub = f"bucket={key}" if mode == "direct" else f"pid={key}"
         rel = os.path.join(mf.DATA_DIR, sub, f"base-{seq}.parquet")
         path = os.path.join(lake_dir, rel)
@@ -395,34 +453,36 @@ def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
         return pa.table({
             "pid": pa.array([key], pa.int32()),
             "files": pa.array([[rel]], pa.list_(pa.string())),
-            "lsn_min": pa.array([0], pa.int64()),
-            "lsn_max": pa.array([0], pa.int64()),
+            "lsn_min": pa.array([int(lsn_np.min())], pa.int64()),
+            "lsn_max": pa.array([int(lsn_np.max())], pa.int64()),
             "n_events": pa.array([0], pa.int64()),
             "n_upserts": pa.array([0], pa.int64()),
-            "n_deletes": pa.array([0], pa.int64()),
+            # retained tombstones (partial bases only; lineage-neutral
+            # like the rest of the rewrite counts)
+            "n_deletes": pa.array([n_tomb], pa.int64()),
             "n_rows": pa.array([len(g)], pa.int64()),
             "n_quarantined": pa.array([0], pa.int64()),
             "checksum": pa.array([f"{checksum:016x}"], pa.string()),
             "hwm": pa.array([-1], pa.int64()),
         })
 
-    def _bkey(t: pa.Table) -> pa.Table:
-        t = add_pid_column(t, KEY_COLS, P, pid_col="_bkey")
-        if mode == "direct" and num_buckets:
-            b = (t["_bkey"].to_numpy().astype(np.int64)
-                 * num_buckets // P).astype(np.int32)
-            t = t.set_column(t.schema.get_field_index("_bkey"), "_bkey",
-                             pa.array(b, pa.int32()))
-        return t
-
-    resolved = read_lake(lake_dir, _files=subset_files)
+    resolved = read_lake(lake_dir, _files=subset_files,
+                         _keep_deletes=is_partial)
     entries = (resolved.map_batches(_bkey, batch_format="pyarrow")
                .groupby("_bkey").map_groups(_write_base,
                                             batch_format="pyarrow"))
     rows = entries.take_all()
     partitions = {int(r["pid"]): {k: r[k] for k in r if k != "pid"}
                   for r in rows}
-    n_live = sum(e["n_rows"] for e in partitions.values())
+    if targets is not None:
+        stray = set(partitions) - targets
+        if stray:  # closure 2 guarantees this never happens
+            raise RuntimeError(
+                "partial compaction produced base entries for keys "
+                f"{sorted(stray)} outside the closed target set "
+                f"{sorted(targets)} — committing would reset un-rewritten "
+                "buckets and lose their deltas")
+    n_live = sum(e["n_rows"] - e["n_deletes"] for e in partitions.values())
     # carry forward high-watermarks so resume-after-compact still fences
     hwm = mf.high_watermarks(lake_dir)
     for p, e in partitions.items():

@@ -321,4 +321,13 @@ def change_files(lake_dir: str, from_epoch: int,
         if from_epoch < m.get("epoch", -1) <= to_epoch:
             for entry in m["partitions"].values():
                 files.extend(_entry_files(lake_dir, entry))
-    return list(dict.fromkeys(files))
+    files = list(dict.fromkeys(files))
+    missing = [f for f in files if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"change feed for WAL epochs ({from_epoch}, {to_epoch}] needs "
+            f"{len(missing)} delta file(s) already reclaimed by vacuum "
+            f"after compaction (e.g. {os.path.relpath(missing[0], lake_dir)})"
+            " — this history range is no longer reproducible (the "
+            "time-travel/VACUUM trade-off documented on read_lake)")
+    return files

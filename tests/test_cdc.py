@@ -576,3 +576,128 @@ def test_lineage_counts(wal_dir, tmp_path):
                     for f in __import__("os").listdir(f"{wal_dir}/epoch={k}"))
     assert lin["n_events"].sum() == wal_total
     assert (lin["lsn_max"] >= lin["lsn_min"]).all()
+
+
+def test_partial_compact_salted_hot_keys_and_vacuum(tmp_path):
+    """The hot-key-salting × partial-compaction interaction (sorted
+    mode, pid-level entries so the scenarios stay isolated):
+
+    1. compacting a SPILL pid (one a hot key's salted events landed on)
+       must expand the target set to the key's natural pid — otherwise
+       the partial base resets a pid whose deltas were never read and
+       vacuum permanently deletes every other key in it;
+    2. a partial base must keep REAL lsns — a lsn=0 base row for a hot
+       key loses to the key's older salted rows left in un-compacted
+       pids (stale resurrection);
+    3. a partial base must keep delete TOMBSTONES — dropping one
+       resurrects an older salted upsert from an un-compacted pid.
+    """
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.lake import (audit_lake, changes_between, lookup,
+                                    vacuum)
+    from etl_ray.util import key_hash64
+
+    P = 64
+
+    def pid_of(repo, path):
+        # int() BEFORE the modulus: np.uint64 % python-int promotes to
+        # float64 and mangles the low bits
+        return int(key_hash64(pa.table(
+            {"repo": pa.array([repo]), "path": pa.array([path])}),
+            ["repo", "path"])[0]) % P
+
+    # deterministic search: two hot keys whose natural pids sit mid-
+    # bucket (salt span q..q+7 doesn't wrap) with disjoint spans
+    hot = []
+    i = 0
+    while len(hot) < 2 and i < 10000:
+        name = f"org/h{i}"
+        q = pid_of(name, "x.py")
+        if q <= 48 and all(abs(q - q0) > 8 for _, q0 in hot):
+            hot.append((name, q))
+        i += 1
+    (k1, q1), (k2, q2) = hot
+
+    rows = []
+    # K1: 8193 updates, lsns 0..8192. max lsn 8192 ≡ 0 (mod 8) → salt 0
+    # → natural pid q1; lsns ≡ 7 salt to q1+7.
+    for lsn in range(8193):
+        rows.append({"lsn": lsn, "epoch": 0,
+                     "op": "I" if lsn == 0 else "U", "repo": k1,
+                     "path": "x.py", "commit": f"c{lsn}", "lang": "py",
+                     "content": f"h1-v{lsn}", "size": 1})
+    # K2: 4096 upserts at lsns ≡ 7 (mod 8) → all salt to q2+7, then a
+    # DELETE at lsn 60000 ≡ 0 → salt 0 → natural pid q2.
+    for j in range(4096):
+        lsn = 10007 + 8 * j
+        rows.append({"lsn": lsn, "epoch": 0,
+                     "op": "I" if j == 0 else "U", "repo": k2,
+                     "path": "x.py", "commit": f"d{lsn}", "lang": "py",
+                     "content": f"h2-v{lsn}", "size": 1})
+    rows.append({"lsn": 60000, "epoch": 0, "op": "D", "repo": k2,
+                 "path": "x.py", "commit": "del", "lang": "py",
+                 "content": None, "size": 1})
+    # cold tail: 400 keys spread over all pids (the data the pre-fix
+    # partial base silently loses)
+    cold_pids = {}
+    for j in range(400):
+        name = f"org/c{j}"
+        rows.append({"lsn": 70000 + j, "epoch": 0, "op": "I",
+                     "repo": name, "path": "c.py", "commit": f"k{j}",
+                     "lang": "py", "content": f"cold-{j}", "size": 1})
+        cold_pids.setdefault(pid_of(name, "c.py"), name)
+    # scenario preconditions: colds exist in every pid we compact/reset
+    assert q1 in cold_pids and q2 in cold_pids
+
+    schema = pa.schema([
+        ("lsn", pa.int64()), ("epoch", pa.int32()), ("op", pa.string()),
+        ("repo", pa.string()), ("path", pa.string()),
+        ("commit", pa.string()), ("lang", pa.string()),
+        ("content", pa.string()), ("size", pa.int64()),
+    ])
+    wal = str(tmp_path / "wal_pc")
+    os.makedirs(f"{wal}/epoch=0")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   f"{wal}/epoch=0/part-0.parquet")
+    lake = str(tmp_path / "lake_pc")
+    replay(wal, lake, 1, num_partitions=P, mode="sorted",
+           auto_compact=None)
+
+    # precondition: salting actually spilled K1 to q1+7 and K2 to q2+7
+    vis = mf.visible_entry_files(lake)
+    for spill, key in ((q1 + 7, k1), (q2 + 7, k2)):
+        got = set()
+        for f in vis.get(spill, []):
+            got |= set(pq.read_table(f, columns=["repo"])["repo"].to_pylist())
+        assert key in got, "salting precondition not met"
+
+    def check_state(stage):
+        final = read_lake(lake).to_pandas()
+        by_key = dict(zip(final.repo, final.content))
+        assert by_key.get(k1) == "h1-v8192", stage       # scenario 2
+        assert k2 not in by_key, stage                   # scenario 3
+        assert sum(r.startswith("org/c") for r in by_key) == 400, stage
+        assert len(final) == 401, stage                  # scenario 1
+
+    # stage 1: compact a spill pid of K1 → closure must pull in q1
+    compact(lake, buckets=[q1 + 7])
+    man = mf.last_manifest(lake)
+    assert man["partial"] and str(q1) in man["partitions"]
+    vacuum(lake)
+    check_state("after spill-pid compact + vacuum")
+
+    # stage 2: compact K2's natural pid → tombstone must survive
+    compact(lake, buckets=[q2])
+    vacuum(lake)
+    check_state("after tombstone-pid compact + vacuum")
+
+    assert lookup(lake, k1, "x.py")["content"] == "h1-v8192"
+    assert lookup(lake, k2, "x.py") is None
+    assert audit_lake(lake)["checksum_ok"]
+
+    # vacuumed change-feed history now fails loudly, not mid-scan
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        changes_between(lake, -1, 0)
