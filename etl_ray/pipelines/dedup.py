@@ -259,16 +259,27 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
 CLUSTER_DRIVER_MAX_PAIRS = 1_000_000
 
 
-def _cc_label_propagation(edges, max_rounds: int = 32) -> pa.Table:
+def _cc_label_propagation(edges, max_rounds: int | None = None) -> pa.Table:
     """DISTRIBUTED connected components: iterative min-label propagation.
 
     ``edges`` is a Dataset of (doc_a, doc_b) int64 pairs. Each round
     joins current node labels onto both edge endpoints, sends
     min(la, lb) to each endpoint, and keeps the per-node min. Labels
-    only ever decrease, so an unchanged label SUM certifies the
-    fixpoint; the mega-bucket star-pair cap keeps component diameters
-    (and hence rounds) small. Per-round cost: two hash joins + one
-    groupby over the bounded edge set.
+    only ever decrease and are bounded below by the component minimum,
+    so the loop provably reaches the fixpoint (certified by an
+    unchanged label SUM) within component-diameter rounds — it runs
+    until then by default: returning partial labels would be silently
+    wrong components (verified chains can out-run any fixed round
+    count even with the mega-bucket star-pair cap, which bounds only
+    intra-bucket diameter). Each round ends with a POINTER JUMP (node
+    label := label of its label — every label value is itself a node
+    id in the same component, so the self-join is total and stays
+    in-component), which halves remaining chain depth and makes the
+    round count O(log diameter) instead of O(diameter).
+    ``max_rounds`` is an optional guard for callers with a latency
+    budget: exhausting it unconverged RAISES rather than returning
+    partial labels. Per-round cost: three hash joins + one groupby
+    over the bounded edge/label sets.
     """
     from ray.data.aggregate import Sum as _Sum
 
@@ -285,7 +296,15 @@ def _cc_label_propagation(edges, max_rounds: int = 32) -> pa.Table:
     # oversized fan-out just spins empty join partitions
     np_join = max(2, min(join_partitions(), n_nodes // 512 + 2))
     prev_sum = None
-    for _ in range(max_rounds):
+    rounds = 0
+    while True:
+        if max_rounds is not None and rounds >= max_rounds:
+            raise RuntimeError(
+                f"label propagation did not converge within max_rounds="
+                f"{max_rounds} (label sum still falling at {prev_sum}); "
+                "returning here would emit wrong components — raise the "
+                "budget or drop it to run to the fixpoint")
+        rounds += 1
         la = labels.rename_columns({"node": "na", "lbl": "la"})
         lb = labels.rename_columns({"node": "nb", "lbl": "lb"})
         e = edges.join(la, join_type="inner", num_partitions=np_join,
@@ -303,7 +322,22 @@ def _cc_label_propagation(edges, max_rounds: int = 32) -> pa.Table:
 
         msgs = e.map_batches(_msgs, batch_format="pyarrow")
         labels = (labels.union(msgs).groupby("node")
-                  .aggregate(Min("lbl", alias_name="lbl")).materialize())
+                  .aggregate(Min("lbl", alias_name="lbl")))
+        # pointer jump: lbl := lbl of lbl (≤ lbl, same component)
+        lj = labels.rename_columns({"node": "jn", "lbl": "jl"})
+        jumped = labels.join(lj, join_type="inner",
+                             num_partitions=np_join,
+                             on=("lbl",), right_on=("jn",))
+
+        def _jump(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t["node"],
+                "lbl": pa.array(np.minimum(t["lbl"].to_numpy(),
+                                           t["jl"].to_numpy())),
+            })
+
+        labels = jumped.map_batches(
+            _jump, batch_format="pyarrow").materialize()
         cur_sum = labels.aggregate(_Sum("lbl", alias_name="s"))["s"]
         if cur_sum == prev_sum:
             break  # labels only decrease: unchanged sum == fixpoint

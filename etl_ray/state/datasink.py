@@ -37,8 +37,10 @@ class LakeSink(Datasink):
 
     Parameters mirror ``cdc.replay``: ``num_partitions`` fixes key
     routing (a resumed lake must keep it), ``schema`` is the unified
-    payload schema (derived from the first written block's schema when
-    omitted — pass it explicitly when the Dataset's epochs evolve).
+    payload schema. When omitted it is inferred per block and unified
+    as the write streams (add-column / type-widen evolution mid-dataset
+    commits the widened union; incompatible drift raises) — pass it
+    explicitly only to pin an authoritative schema up front.
     """
 
     def __init__(self, lake_dir: str, num_partitions: int = 32,
@@ -74,18 +76,40 @@ class LakeSink(Datasink):
         prep = prepare_events(self.num_partitions)
         rows: list[dict] = []
         writer = None
+        cur: pa.Schema | None = None  # task-local unified payload schema
         for block in blocks:
             if not isinstance(block, pa.Table):
                 block = pa.Table.from_pandas(block)
             if len(block) == 0:
                 continue
-            if writer is None:
-                b64 = self._schema_b64 or schema_mod.to_b64(
-                    payload_schema(block.schema))
-                writer = make_fragment_writer(
-                    self.lake_dir, b64, self._hwm_ref,
-                    self.num_partitions, self.num_buckets)
+            if self._schema_b64 is not None:
+                b64 = self._schema_b64  # explicit schema is authoritative
+                if writer is None:
+                    writer = make_fragment_writer(
+                        self.lake_dir, b64, self._hwm_ref,
+                        self.num_partitions, self.num_buckets)
+            else:
+                # no schema given: unify PER BLOCK, not once per task —
+                # a task whose first block predates a mid-dataset
+                # add-column/widen evolution must not silently conform
+                # later blocks down to the narrow schema (unify raises
+                # loudly on non-widening conflicts)
+                unified = schema_mod.unify(cur, payload_schema(block.schema))
+                if writer is None or not unified.equals(cur):
+                    cur = unified
+                    b64 = schema_mod.to_b64(cur)
+                    writer = make_fragment_writer(
+                        self.lake_dir, b64, self._hwm_ref,
+                        self.num_partitions, self.num_buckets)
             rows.extend(writer(prep(block)).to_pylist())
+        if self._schema_b64 is None and cur is not None:
+            # ship the task's final schema to the driver: fragments of
+            # one commit may disagree (pre-evolution blocks wrote
+            # narrow files); the commit schema must be the global union
+            # so readers backfill the gaps as nulls
+            b64 = schema_mod.to_b64(cur)
+            for r in rows:
+                r["schema_b64"] = b64
         return rows
 
     def on_write_complete(self, write_result: "WriteResult[Any]") -> None:
@@ -95,20 +119,24 @@ class LakeSink(Datasink):
             return
         schema = self._schema
         if schema is None:
-            # schema wasn't given: recover it from a written fragment's
-            # footer (correct when the input blocks share one schema —
-            # pass schema= explicitly for mixed-evolution datasets)
-            import os
+            # schema wasn't given: union of every write task's unified
+            # payload schema (shipped in the entry rows) + the lake's
+            # current schema — mixed-evolution datasets commit the
+            # widened union, narrow fragments backfill as nulls on read
+            schema = mf.current_schema(self.lake_dir)
+            for b64 in {r.get("schema_b64") for r in entries} - {None}:
+                schema = schema_mod.unify(schema, schema_mod.from_b64(b64))
+            if schema is None:  # no task saw a non-empty block
+                import os
 
-            import pyarrow.parquet as pq
+                import pyarrow.parquet as pq
 
-            rel = next(f for r in entries for f in r["files"])
-            file_schema = pq.read_schema(os.path.join(self.lake_dir, rel))
-            schema = pa.schema(
-                [f for f in file_schema
-                 if f.name not in ("lsn", "op", "content_sha256")])
-            schema = schema_mod.unify(mf.current_schema(self.lake_dir),
-                                      schema)
+                rel = next(f for r in entries for f in r["files"])
+                file_schema = pq.read_schema(
+                    os.path.join(self.lake_dir, rel))
+                schema = pa.schema(
+                    [f for f in file_schema
+                     if f.name not in ("lsn", "op", "content_sha256")])
         epochs = sorted({int(r["epoch"]) for r in entries})
         for k in epochs:  # fenced, strictly ascending commits
             by_bucket: dict[int, list[dict]] = {}

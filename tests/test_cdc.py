@@ -701,3 +701,42 @@ def test_partial_compact_salted_hot_keys_and_vacuum(tmp_path):
     # vacuumed change-feed history now fails loudly, not mid-scan
     with pytest.raises(FileNotFoundError, match="vacuum"):
         changes_between(lake, -1, 0)
+
+
+def test_lake_datasink_mid_dataset_evolution_single_write(tmp_path):
+    """ONE sink write (schema=None) over a dataset whose blocks straddle
+    an add-column evolution must commit the widened union — the evolved
+    column's values survive regardless of which task/block order the
+    writer saw (the old per-task first-block inference silently dropped
+    them)."""
+    import pyarrow as pa
+
+    import ray.data
+    from etl_ray.state.datasink import LakeSink
+
+    def rows(lo, hi, with_stars):
+        out = []
+        for i in range(lo, hi):
+            r = {"lsn": i, "epoch": 0, "op": "I", "repo": f"org/r{i}",
+                 "path": "a.py", "commit": f"c{i}", "lang": "py",
+                 "content": f"v{i}", "size": i}
+            if with_stars:
+                r["stars"] = i * 10
+            out.append(r)
+        return out
+
+    narrow = pa.Table.from_pylist(rows(0, 300, False))
+    wide = pa.Table.from_pylist(rows(300, 600, True))
+    lake = str(tmp_path / "lake_evo1")
+    # one Dataset, blocks with differing schemas, one write
+    ray.data.from_arrow([narrow, wide]).write_datasink(
+        LakeSink(lake, num_partitions=8))
+    import pandas as pd
+
+    schema = mf.current_schema(lake)
+    assert "stars" in schema.names
+    final = read_lake(lake).to_pandas()
+    by_repo = dict(zip(final.repo, final.stars))
+    assert len(final) == 600
+    assert by_repo["org/r450"] == 4500      # evolved values survived
+    assert pd.isna(by_repo["org/r10"])      # pre-evolution backfilled

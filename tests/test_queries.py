@@ -460,3 +460,25 @@ def test_minhash_megabucket_bounded():
     # every doc stays connected to the hub representative
     assert set(out["doc_b"].to_pylist()) == set(range(1, n))
     assert set(out["doc_a"].to_pylist()) == {0}
+
+
+def test_label_propagation_long_chain_converges():
+    """A chain component's diameter exceeds any fixed round budget —
+    the default must iterate to the certified fixpoint (all labels =
+    chain minimum), and an explicit exhausted budget must RAISE, never
+    return partial (silently wrong) components."""
+    import ray.data
+
+    from etl_ray.pipelines.dedup import _cc_label_propagation
+
+    n = 120  # diameter 119 > the old 32-round cap
+    edges = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(list(range(n - 1)), pa.int64()),
+        "doc_b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    got = _cc_label_propagation(edges).to_pandas()
+    assert (got.canon_id == 0).all() and len(got) == n
+    assert set(got[got.keep].doc_id) == {0}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_label_propagation(edges, max_rounds=3)
