@@ -309,10 +309,11 @@ def set_ops(sf_dir: str):
 # ------------------------------------------------------ sampling / staging
 
 
-@register("sample_seeded")
 def sample_seeded(sf_dir: str):
-    """O4 seeded sampling — deterministic for a fixed input + seed
-    (rows-only oracle records the stable row count)."""
+    """O4 seeded sampling — deterministic for a fixed input + seed.
+    Unregistered since round 3 (its registry slot went to cdc_changes —
+    the driver caps recorded rows at 50); determinism is pinned by
+    tests/test_queries.py::test_sample_seeded_deterministic."""
     ds = read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     return ds.random_sample(0.1, seed=42)
 

@@ -174,7 +174,10 @@ def text_signals(sf_dir: str):
     pipeline over `documents`. All three are deterministic but not
     SQL-expressible — rows-only oracle; value-level behavior is pinned
     by tests (marker preference, fingerprint stability, simhash
-    hamming-distance separation)."""
+    hamming-distance separation). The carried n_tokens column IS
+    SQL-checkable and is pinned against DuckDB in the sf0.001 sweep —
+    drift anywhere in this pipeline's tokenization now fails a
+    value-level check, not just the rows-only count (VERDICT r2 #8)."""
     from etl_ray.pipelines.dedup import simhash_batch
 
     ds = read(sf_dir, "documents", ["doc_id", "text"])
@@ -188,6 +191,8 @@ def text_signals(sf_dir: str):
             "doc_id": t["doc_id"],
             "lang_pred": t["lang_pred"],
             "score_e4": t["score_e4"],
+            "n_tokens": pc.cast(pc.list_value_length(_token_lists(t)),
+                                pa.int64()),
             "fp": pa.array([f"{v:016x}" for v in fps], pa.string()),
             "simhash": pa.array([f"{v:016x}" for v in sim], pa.string()),
             "band16": pa.array((sim >> np.uint64(48)).astype(np.int64)),

@@ -498,3 +498,42 @@ def test_embedding_neardup_cells_equals_brute(sf_dir):
     bp = set(zip(brute.vec_a, brute.vec_b))
     assert cp == bp, (f"missed={sorted(bp - cp)[:10]} "
                       f"extra={sorted(cp - bp)[:10]}")
+
+
+def test_sample_seeded_deterministic():
+    """O4 seeded sampling keeps its evidence after losing its registry
+    slot to cdc_changes: same input + seed => identical sampled ids."""
+    from etl_ray.pipelines.advanced import sample_seeded
+    a = _to_pandas(sample_seeded(SF_DIR))
+    b = _to_pandas(sample_seeded(SF_DIR))
+    assert len(a) > 0
+    assert sorted(a.o_orderkey) == sorted(b.o_orderkey)
+
+
+def test_cdc_changes_feed_and_time_travel(registry):
+    """cdc_changes: deterministic feed count, tombstones present, and
+    the embedded composition-law assertion did not raise."""
+    queries, _ = registry
+    out = _to_pandas(queries["cdc_changes"](SF_DIR))
+    assert len(out) > 0
+    assert set(out.columns) == {"repo", "path", "op", "lsn",
+                                "existed_at_2"}
+    assert set(out.op) <= {"I", "U", "D"}
+    # the seeded WAL always nets some updates of keys live at epoch 2
+    assert out.existed_at_2.any()
+    # feed is net-per-key: the pair (repo, path) is unique
+    assert not out.duplicated(["repo", "path"]).any()
+
+
+def test_text_signals_n_tokens_matches_duckdb(registry, oracle_con):
+    """The SQL-checkable facet of the rows-only text_signals pipeline:
+    n_tokens must match DuckDB exactly per doc_id."""
+    queries, _ = registry
+    got = _to_pandas(queries["text_signals"](SF_DIR))
+    want = oracle_con.execute(
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
+        " AS n_tokens FROM documents").df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    w = want.sort_values("doc_id").reset_index(drop=True)
+    assert list(g.doc_id) == list(w.doc_id)
+    assert list(g.n_tokens) == list(w.n_tokens)
