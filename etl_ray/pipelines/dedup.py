@@ -27,7 +27,8 @@ from ray.data.aggregate import Min
 
 from etl_ray.pipelines._qutil import join_partitions, read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import embedding_matrix, hash64_str, sha256_hex_array
+from etl_ray.util import (embedding_matrix, hash64_str, rolling_poly,
+                          segment_unique, sha256_hex_array)
 
 # ------------------------------------------------------------- exact dedup
 
@@ -63,38 +64,17 @@ def _shingle_hashes(t: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Per-row 64-bit hashes of k-token shingles.
 
     Returns (flat_hashes, row_lengths): the i-th row owns
-    flat_hashes[off[i]:off[i]+row_lengths[i]]. Token hashing is
-    pandas-siphash over the flattened stream; shingle combination is a
-    vectorized polynomial over a sliding window.
+    flat_hashes[off[i]:off[i]+row_lengths[i]], sorted unique per row.
+    Fully segment-vectorized: one polars hash of the flattened token
+    stream, one global sliding-window polynomial (util.rolling_poly),
+    one lexsort dedupe (util.segment_unique) — no per-doc Python loop.
     """
     toks = pc.split_pattern(t["text"], " ")
     toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     lengths = pc.list_value_length(toks).to_numpy()
     flat = hash64_str(pc.list_flatten(toks))
-    B = np.uint64(1099511628211)
-    weights = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    out_h: list[np.ndarray] = []
-    out_n = np.zeros(len(t), dtype=np.int64)
-    pos = 0
-    for i, n in enumerate(lengths):  # per-doc loop; inner fully vectorized
-        h = flat[pos:pos + n]
-        pos += n
-        if n < k:
-            sh = np.array([(h * weights[-len(h):]).sum()], dtype=np.uint64)
-        else:
-            win = np.lib.stride_tricks.sliding_window_view(h, k)
-            sh = (win * weights).sum(axis=1)
-        sh = np.unique(sh)
-        out_h.append(sh)
-        out_n[i] = len(sh)
-    return np.concatenate(out_h) if out_h else np.empty(0, np.uint64), out_n
-
-
-def _minhash_sig(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """k-permutation minhash of one shingle-hash set (vectorized k×n)."""
-    x = sh.astype(np.uint64)[None, :]
-    perm = (a[:, None] * x + b[:, None]) % _MERSENNE
-    return perm.min(axis=1)
+    vals, counts = rolling_poly(flat, lengths, k, np.uint64(1099511628211))
+    return segment_unique(vals, counts)
 
 
 NUM_PERM, BANDS = 64, 16
@@ -116,30 +96,34 @@ def minhash_triples(t: pa.Table) -> pa.Table:
     """map_batches stage: emit (band, bucket, doc_id) LSH triples.
 
     num_perm=64 in 16 bands of 4 rows targets the Jaccard~0.5
-    similarity knee.
+    similarity knee. The signature matrix is built permutation-major
+    (64 fixed iterations of one vectorized a*x+b pass over the WHOLE
+    flattened shingle stream + one np.minimum.reduceat over per-doc
+    segments) — no per-doc loop, identical arithmetic to the per-doc
+    _minhash_sig it replaced (pinned by the brute-force ground-truth
+    test).
     """
     a, b = _perm_coefficients()
     rows_per_band = NUM_PERM // BANDS
     flat, counts = _shingle_hashes(t)
     doc_ids = t["doc_id"].to_numpy()
-    bands_out, buckets_out, ids_out = [], [], []
-    pos = 0
-    for i, n in enumerate(counts):
-        sig = _minhash_sig(flat[pos:pos + n], a, b)
-        pos += n
-        bands = sig.reshape(BANDS, rows_per_band)
-        # bucket id = hash of the band's signature rows
-        bucket = (bands * np.uint64(1000003)).sum(axis=1)
-        bands_out.append(np.arange(BANDS, dtype=np.int32))
-        buckets_out.append(bucket.astype(np.int64))
-        ids_out.append(np.full(BANDS, doc_ids[i], dtype=np.int64))
+    n = len(doc_ids)
+    if n == 0:
+        return pa.table({"band": pa.array([], pa.int32()),
+                         "bucket": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1].astype(np.int64)
+    sig = np.empty((NUM_PERM, n), dtype=np.uint64)
+    for p in range(NUM_PERM):  # fixed 64; inner fully vectorized
+        sig[p] = np.minimum.reduceat(
+            (a[p] * flat + b[p]) % _MERSENNE, offs)
+    bands3 = sig.reshape(BANDS, rows_per_band, n)
+    # bucket id = hash of the band's signature rows
+    bucket = (bands3 * np.uint64(1000003)).sum(axis=1)  # (BANDS, n)
     return pa.table({
-        "band": pa.array(np.concatenate(bands_out) if bands_out else
-                         np.empty(0, np.int32)),
-        "bucket": pa.array(np.concatenate(buckets_out) if buckets_out else
-                           np.empty(0, np.int64)),
-        "doc_id": pa.array(np.concatenate(ids_out) if ids_out else
-                           np.empty(0, np.int64)),
+        "band": pa.array(np.repeat(np.arange(BANDS, dtype=np.int32), n)),
+        "bucket": pa.array(bucket.reshape(-1).astype(np.int64)),
+        "doc_id": pa.array(np.tile(doc_ids.astype(np.int64), BANDS)),
     })
 
 

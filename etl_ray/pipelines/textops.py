@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import hash64_str
+from etl_ray.util import hash64_str, rolling_poly
 
 
 def _token_lists(t: pa.Table, col: str = "text"):
@@ -128,28 +128,20 @@ def fingerprint_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
     """Winnowing-style document fingerprints (rolling polynomial hash).
 
     Per doc: 64-bit rolling hash over 4-token windows, fingerprint = min
-    hash (content-defined, stable under token-preserving reflow). All
-    window hashing is vectorized over the flattened token stream.
+    hash (content-defined, stable under token-preserving reflow).
+    Segment-vectorized end to end: one global sliding-window polynomial
+    over the flattened token stream (util.rolling_poly — identical
+    uint64 arithmetic to the per-doc loop it replaced) + one
+    np.minimum.reduceat over per-doc window segments.
     """
     toks = _token_lists(t, text_col)
     lengths = pc.list_value_length(toks).to_numpy()
     flat = hash64_str(pc.list_flatten(toks))
-    fps = np.zeros(len(t), dtype=np.uint64)
-    weights = _FP_B ** np.arange(FP_W - 1, -1, -1, dtype=np.uint64)
-    pos = 0
-    for i, n in enumerate(lengths):  # per-doc; inner ops vectorized
-        h = flat[pos:pos + n]
-        pos += n
-        if n < FP_W:
-            acc = np.uint64(0)
-            for v in h:
-                acc = acc * _FP_B + v
-            fps[i] = acc
-            continue
-        # rolling hash of every W-window, fully vectorized:
-        windows = np.lib.stride_tricks.sliding_window_view(h, FP_W)
-        fps[i] = (windows * weights).sum(axis=1).min()
-    return fps
+    vals, counts = rolling_poly(flat, lengths, FP_W, _FP_B)
+    if len(vals) == 0:
+        return np.zeros(len(t), dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1].astype(np.int64)
+    return np.minimum.reduceat(vals, offs)
 
 
 def fingerprint(sf_dir: str):

@@ -93,6 +93,73 @@ def key_hash64(tbl: pa.Table, cols: list[str]) -> np.ndarray:
             .to_numpy().astype(np.uint64))
 
 
+def rolling_poly(flat: np.ndarray, lengths: np.ndarray, width: int,
+                 base: np.uint64) -> tuple[np.ndarray, np.ndarray]:
+    """Polynomial hash of every ``width``-window within each segment of
+    a flattened uint64 stream — the shared kernel behind shingling
+    (dedup) and winnowing fingerprints (textops), with NO per-segment
+    Python loop (VERDICT r2 #7).
+
+    ``flat`` is the concatenation of per-row token hashes; ``lengths``
+    the per-row token counts. A segment of n >= width tokens yields its
+    n-width+1 sliding windows, each hashed sum(h_j * base^(width-1-j))
+    (uint64 wraparound, exactly the arithmetic of the per-doc loops
+    this replaces); a shorter segment yields ONE value, the polynomial
+    over its full length. Returns (values, counts) with values
+    segment-major in window order and counts[i] the window count of
+    segment i (always >= 1 for non-empty lengths).
+
+    Vectorization: one global sliding_window_view over the whole
+    stream, then a gather of the per-segment window start positions
+    built with repeat/cumsum offset arithmetic; sub-width segments are
+    grouped by length (< width distinct lengths) and batched.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    n_seg = len(lengths)
+    weights = base ** np.arange(width - 1, -1, -1, dtype=np.uint64)
+    offs = np.concatenate([[0], np.cumsum(lengths)])
+    counts = np.maximum(lengths - width + 1, 1)
+    out_offs = np.concatenate([[0], np.cumsum(counts)])
+    out = np.zeros(int(out_offs[-1]), dtype=np.uint64)
+    if n_seg == 0:
+        return out, counts
+    big = lengths >= width
+    if big.any():
+        win = np.lib.stride_tricks.sliding_window_view(flat, width)
+        allv = (win * weights).sum(axis=1, dtype=np.uint64)
+        cb = counts[big]
+        within = (np.arange(int(cb.sum()), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(cb)])[:-1], cb))
+        src = np.repeat(offs[:-1][big], cb) + within
+        dst = np.repeat(out_offs[:-1][big], cb) + within
+        out[dst] = allv[src]
+    small = ~big
+    if small.any():
+        for ln in np.unique(lengths[small]):  # < width iterations
+            m = small & (lengths == ln)
+            if ln == 0:
+                continue  # empty token list: fingerprint 0
+            idx = offs[:-1][m][:, None] + np.arange(ln)
+            out[out_offs[:-1][m]] = (
+                flat[idx] * weights[-ln:]).sum(axis=1, dtype=np.uint64)
+    return out, counts
+
+
+def segment_unique(values: np.ndarray,
+                   counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique of a segment-major uint64 stream,
+    fully vectorized (lexsort + adjacent-dedupe) — equivalent to
+    np.unique per segment without the per-segment loop."""
+    seg = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    order = np.lexsort((values, seg))
+    sv, ss = values[order], seg[order]
+    keep = np.ones(len(sv), dtype=bool)
+    if len(sv) > 1:
+        keep[1:] = (sv[1:] != sv[:-1]) | (ss[1:] != ss[:-1])
+    return sv[keep], np.bincount(
+        ss[keep], minlength=len(counts)).astype(np.int64)
+
+
 def embedding_matrix(col: pa.ChunkedArray | pa.Array,
                      dtype=np.float64) -> np.ndarray:
     """(rows, dim) matrix from a ``list<float>`` column, zero-copy.

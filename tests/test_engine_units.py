@@ -213,3 +213,48 @@ def test_embedding_matrix_zero_copy_equivalence():
     with pytest.raises(ValueError):
         embedding_matrix(pa.array([[1.0, 2.0], None],
                                   type=pa.list_(pa.float32())))
+
+
+def test_rolling_poly_matches_naive_reference():
+    """rolling_poly/segment_unique must reproduce the per-doc loops
+    they replaced (same uint64 wraparound arithmetic), across window
+    edge cases: n<k, n==k, n>k, and many segments."""
+    from etl_ray.util import rolling_poly, segment_unique
+
+    rng = np.random.RandomState(7)
+    base = np.uint64(1099511628211)
+    for width in (3, 4):
+        weights = base ** np.arange(width - 1, -1, -1, dtype=np.uint64)
+        lengths = rng.randint(1, 12, size=200)
+        flat = rng.randint(0, 2**63, size=int(lengths.sum()),
+                           dtype=np.uint64)
+        # naive reference (the pre-r3 per-doc loop)
+        ref_vals, ref_counts = [], []
+        pos = 0
+        for n in lengths:
+            h = flat[pos:pos + n]
+            pos += n
+            if n < width:
+                acc = np.uint64(0)
+                for v in h:
+                    acc = acc * base + v
+                ref_vals.append(np.array([acc], dtype=np.uint64))
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, width)
+                ref_vals.append((win * weights).sum(
+                    axis=1, dtype=np.uint64))
+            ref_counts.append(len(ref_vals[-1]))
+        got_vals, got_counts = rolling_poly(flat, lengths, width, base)
+        np.testing.assert_array_equal(got_counts, ref_counts)
+        np.testing.assert_array_equal(got_vals, np.concatenate(ref_vals))
+
+        # segment_unique == np.unique per segment
+        gu_vals, gu_counts = segment_unique(got_vals, got_counts)
+        exp = [np.unique(v) for v in ref_vals]
+        np.testing.assert_array_equal(gu_counts, [len(e) for e in exp])
+        np.testing.assert_array_equal(gu_vals, np.concatenate(exp))
+
+    # degenerate: no segments at all
+    v, c = rolling_poly(np.empty(0, np.uint64), np.empty(0, np.int64),
+                        3, base)
+    assert len(v) == 0 and len(c) == 0
