@@ -46,7 +46,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # comparison measures the pipeline, not the orchestration floor.
 CDC_KEYS, CDC_REPOS, CDC_EPOCHS, CDC_PARTITIONS = 2_200_000, 11_000, 4, 128
 CDC_UPDATE_P = 0.85  # update-heavy churn: ~7.8 events/key (CDC regime)
-WAL_DIR = f"/tmp/etl_ray_bench/wal2_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
+WAL_DIR = f"/tmp/etl_ray_bench/wal3_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
 SCALING_PAIRS = ((8, 32), (4, 16))  # N→4N pairs (see module docstring)
 
 BENCH_QUERIES = [

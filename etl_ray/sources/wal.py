@@ -79,6 +79,64 @@ def _content_blob() -> str:
     return _CONTENT_BLOB[0]
 
 
+_BLOB_BYTES: list[np.ndarray] = []  # ASCII view of the blob, per process
+
+
+def _blob_bytes() -> np.ndarray:
+    if not _BLOB_BYTES:
+        _BLOB_BYTES.append(
+            np.frombuffer(_content_blob().encode(), dtype=np.uint8))
+    return _BLOB_BYTES[0]
+
+
+def _validity(live: np.ndarray) -> pa.Buffer:
+    """Arrow validity bitmap (LSB-first) from a bool mask."""
+    return pa.py_buffer(np.packbits(live, bitorder="little").tobytes())
+
+
+def _string_slices_from_blob(blob: np.ndarray, off: np.ndarray,
+                             ln: np.ndarray, live: np.ndarray) -> pa.Array:
+    """StringArray of blob[off[i]:off[i]+ln[i]] per live row (null for
+    dead rows), built with ONE vectorized gather — no per-row Python
+    string slicing. The blob is ASCII, so byte == char offsets."""
+    total = len(live)
+    lens = np.where(live, ln, 0).astype(np.int64)
+    offsets = np.zeros(total + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(lens)
+    nchars = int(offsets[-1])
+    starts = np.repeat(off[live], ln[live])
+    within = (np.arange(nchars, dtype=np.int64)
+              - np.repeat(offsets[:-1][live].astype(np.int64), ln[live]))
+    data = blob[starts + within] if nchars else np.empty(0, np.uint8)
+    return pa.StringArray.from_buffers(
+        total, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes()),
+        _validity(live), int((~live).sum()))
+
+
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_NIB_SHIFTS = np.arange(60, -1, -4, dtype=np.uint64)
+
+
+def _hex_fixed_width(words: list[np.ndarray],
+                     live: np.ndarray) -> pa.Array:
+    """StringArray of concatenated 16-hex renderings of uint64 lanes
+    per live row (null for dead rows) — vectorized nibble indexing, no
+    per-row format calls."""
+    total = len(live)
+    width = 16 * len(words)
+    chars = np.empty((total, width), dtype=np.uint8)
+    for j, x in enumerate(words):
+        nib = ((x[:, None] >> _NIB_SHIFTS) & np.uint64(0xF)).astype(np.intp)
+        chars[:, 16 * j:16 * (j + 1)] = _HEX_DIGITS[nib]
+    lens = np.where(live, width, 0).astype(np.int64)
+    offsets = np.zeros(total + 1, dtype=np.int32)
+    offsets[1:] = np.cumsum(lens)
+    data = chars[live].reshape(-1)
+    return pa.StringArray.from_buffers(
+        total, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes()),
+        _validity(live), int((~live).sum()))
+
+
 def _synth_events(batch: pa.Table, n_repos: int, n_epochs: int, seed: int,
                   hot_updates: int, update_p: float) -> pa.Table:
     """Vectorized per-key lifecycle synthesis (module docstring)."""
@@ -130,17 +188,21 @@ def _synth_events(batch: pa.Table, n_repos: int, n_epochs: int, seed: int,
     ln = (64 + (ch >> np.uint64(32)) % np.uint64(_MAX_CONTENT - 64)) \
         .astype(np.int64)
     live = ~is_del
-    contents: list[str | None] = [None] * total
-    commits: list[str | None] = [None] * total
     repo_l = repos.to_numpy()
     path_l = batch["path"].to_numpy(zero_copy_only=False)
     lang_l = batch["lang"].to_numpy(zero_copy_only=False)
-    sha1 = hashlib.sha1
-    for i in np.flatnonzero(live):
-        contents[i] = blob[off[i]:off[i] + ln[i]]
-        k = key_row[i]
-        commits[i] = sha1(
-            f"{seed}:{repo_l[k]}:{path_l[k]}:{version[i]}".encode()).hexdigest()
+
+    # content column built with ONE gather from the shared blob buffer
+    # (offset arithmetic — no per-event Python slicing; the blob is
+    # ASCII so byte offsets == char offsets), assembled into an Arrow
+    # StringArray via from_buffers with deletes as nulls
+    contents = _string_slices_from_blob(_blob_bytes(), off, ln, live)
+    # commit ids from the already-vectorized splitmix stream: 32-hex of
+    # two independent finalizer lanes per (key, version) — replaces the
+    # per-event sha1 (fixture realism only needs uniqueness+determinism)
+    c1 = _mix64(ch ^ np.uint64(0xA5A5A5A55A5A5A5A))
+    c2 = _mix64(ch ^ np.uint64(0x3C3C3C3CC3C3C3C3))
+    commits = _hex_fixed_width([c1, c2], live)
     size = np.where(live, ln, 0)
     stars = size * 7 % 1000
 
@@ -150,9 +212,9 @@ def _synth_events(batch: pa.Table, n_repos: int, n_epochs: int, seed: int,
         "op": pa.array(op, pa.string()),
         "repo": pa.array(repo_l[key_row], pa.string()),
         "path": pa.array(path_l[key_row], pa.string()),
-        "commit": pa.array(commits, pa.string()),
+        "commit": commits,
         "lang": pa.array(np.where(live, lang_l[key_row], None), pa.string()),
-        "content": pa.array(contents, pa.string()),
+        "content": contents,
         "size": pa.array(np.where(live, size, None), pa.int64()),
         "stars": pa.array(np.where(live, stars, None), pa.int64()),
     })
