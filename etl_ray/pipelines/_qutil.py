@@ -56,7 +56,22 @@ def join_partitions(cap: int = JOIN_PARTITIONS) -> int:
 
 
 def read(sf_dir: str, table: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Column-pruned parquet read with a METADATA-FREE schema.
+
+    The testdata parquet files embed a `pandas` metadata dict, which
+    makes their Arrow schemas UNHASHABLE (pa.Schema.__hash__ hashes the
+    metadata dict) — every schema unify in read/shuffle workers then
+    logs `Failed to hash the schemas (for deduplication)` and skips its
+    dedup fast path. Passing the footer schema stripped of metadata
+    keeps every downstream block schema clean and hashable; the footer
+    read is one driver-side open per query."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    sch = pq.read_schema(path).remove_metadata()
+    if columns is not None:  # schema must match the projected batches
+        sch = pa.schema([sch.field(c) for c in columns])
+    return ray.data.read_parquet(path, columns=columns, schema=sch)
 
 
 def one_row_table(row: dict, schema: pa.Schema | None = None) -> pa.Table:
