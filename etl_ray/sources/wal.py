@@ -97,17 +97,24 @@ def _validity(live: np.ndarray) -> pa.Buffer:
 def _string_slices_from_blob(blob: np.ndarray, off: np.ndarray,
                              ln: np.ndarray, live: np.ndarray) -> pa.Array:
     """StringArray of blob[off[i]:off[i]+ln[i]] per live row (null for
-    dead rows), built with ONE vectorized gather — no per-row Python
-    string slicing. The blob is ASCII, so byte == char offsets."""
+    dead rows), assembled into ONE preallocated byte buffer with an
+    O(rows) loop of numpy slice-copies (each a memcpy of ~2 KB). The
+    blob is ASCII, so byte == char offsets.
+
+    Deliberately NOT an index-array gather: np.repeat/arange over the
+    total char count materializes ~24 bytes of fresh int64 index per
+    output byte, and this sandbox's first-touch page-fault cost makes
+    large fresh allocations ~50× slower than warm memory — measured
+    12 s/batch for the gather vs ~30 ms for this loop."""
     total = len(live)
     lens = np.where(live, ln, 0).astype(np.int64)
     offsets = np.zeros(total + 1, dtype=np.int32)
     offsets[1:] = np.cumsum(lens)
     nchars = int(offsets[-1])
-    starts = np.repeat(off[live], ln[live])
-    within = (np.arange(nchars, dtype=np.int64)
-              - np.repeat(offsets[:-1][live].astype(np.int64), ln[live]))
-    data = blob[starts + within] if nchars else np.empty(0, np.uint8)
+    data = np.empty(nchars, np.uint8)
+    for s, o, l in zip(off[live].tolist(), offsets[:-1][live].tolist(),
+                       ln[live].tolist()):
+        data[o:o + l] = blob[s:s + l]
     return pa.StringArray.from_buffers(
         total, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes()),
         _validity(live), int((~live).sum()))
