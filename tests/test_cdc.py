@@ -740,3 +740,48 @@ def test_lake_datasink_mid_dataset_evolution_single_write(tmp_path):
     assert len(final) == 600
     assert by_repo["org/r450"] == 4500      # evolved values survived
     assert pd.isna(by_repo["org/r10"])      # pre-evolution backfilled
+
+
+def test_incremental_view_maintenance(wal_dir, tmp_path):
+    """Materialized view (count + int sum per group) maintained from
+    the change feed: incremental refresh == full recompute at EVERY
+    epoch checkpoint, stepwise == one-jump, and a caught-up refresh is
+    an idempotent no-op. Retraction correctness is exercised by the
+    WAL's updates (size changes move sums) and deletes (keys leave
+    their group)."""
+    from etl_ray.state.views import (create_view, read_view,
+                                     refresh_view, view_meta)
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+
+    def recompute(epoch):
+        t = read_lake(lake, columns=["lang", "size"], as_of_epoch=epoch,
+                      keep_sha=False).to_pandas()
+        g = t.groupby("lang", dropna=False)
+        out = g.size().rename("n").to_frame()
+        out["sum_size"] = g["size"].sum().astype("int64")
+        return out.reset_index().sort_values("lang", ignore_index=True)
+
+    cols = ["lang", "n", "sum_size"]
+    vdir = str(tmp_path / "view")
+    create_view(lake, vdir, ["lang"], ["size"], as_of_epoch=0)
+    assert read_view(vdir).to_pandas()[cols].equals(recompute(0)[cols])
+    for e in range(1, N_EPOCHS):
+        refresh_view(lake, vdir, to_epoch=e)
+        got = read_view(vdir).to_pandas()[cols].reset_index(drop=True)
+        assert got.equals(recompute(e)[cols]), f"drift at epoch {e}"
+        assert view_meta(vdir)["as_of_epoch"] == e
+
+    # one-jump 0 -> last equals the stepwise result
+    vdir2 = str(tmp_path / "view2")
+    create_view(lake, vdir2, ["lang"], ["size"], as_of_epoch=0)
+    refresh_view(lake, vdir2)
+    assert read_view(vdir2).to_pandas()[cols].equals(
+        read_view(vdir).to_pandas()[cols])
+
+    # caught-up refresh: no-op, same state, same checkpoint
+    before = read_view(vdir).to_pandas()
+    meta = refresh_view(lake, vdir)
+    assert meta["as_of_epoch"] == N_EPOCHS - 1
+    assert read_view(vdir).to_pandas().equals(before)
