@@ -100,6 +100,29 @@ def cmd_query(args) -> dict:
     return out
 
 
+def cmd_export(args) -> dict:
+    from etl_ray.state.export import export_snapshot
+
+    return export_snapshot(args.lake, args.out, as_of_epoch=args.as_of)
+
+
+def cmd_view_create(args) -> dict:
+    from etl_ray.state.views import create_view
+
+    return {"view": args.view,
+            **create_view(args.lake, args.view, args.group.split(","),
+                          args.sum.split(",") if args.sum else [],
+                          as_of_epoch=args.as_of)}
+
+
+def cmd_view_refresh(args) -> dict:
+    from etl_ray.state.views import read_view, refresh_view
+
+    meta = refresh_view(args.lake, args.view, to_epoch=args.to_epoch)
+    return {"view": args.view, "n_groups": len(read_view(args.view)),
+            **meta}
+
+
 def cmd_lineage(args) -> dict:
     from etl_ray.state.lineage import lineage_table
 
@@ -158,6 +181,28 @@ def main(argv: list[str] | None = None) -> int:
     li = sub.add_parser("lineage")
     li.add_argument("--lake", required=True)
     li.set_defaults(fn=cmd_lineage)
+
+    ex = sub.add_parser("export")
+    ex.add_argument("--lake", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--as-of", type=int, default=None)
+    ex.set_defaults(fn=cmd_export)
+
+    vc = sub.add_parser("view-create")
+    vc.add_argument("--lake", required=True)
+    vc.add_argument("--view", required=True)
+    vc.add_argument("--group", required=True,
+                    help="comma-separated group columns")
+    vc.add_argument("--sum", default="",
+                    help="comma-separated int columns to sum")
+    vc.add_argument("--as-of", type=int, default=None)
+    vc.set_defaults(fn=cmd_view_create)
+
+    vr = sub.add_parser("view-refresh")
+    vr.add_argument("--lake", required=True)
+    vr.add_argument("--view", required=True)
+    vr.add_argument("--to-epoch", type=int, default=None)
+    vr.set_defaults(fn=cmd_view_refresh)
 
     q = sub.add_parser("query")
     q.add_argument("--name", required=True)

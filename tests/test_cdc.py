@@ -785,3 +785,77 @@ def test_incremental_view_maintenance(wal_dir, tmp_path):
     meta = refresh_view(lake, vdir)
     assert meta["as_of_epoch"] == N_EPOCHS - 1
     assert read_view(vdir).to_pandas().equals(before)
+
+
+def test_export_snapshot_resumable_and_salt_correct(wal_dir, ref_state,
+                                                    tmp_path):
+    """Snapshot export == read_lake row set (sha multiset vs the
+    reference interpreter), a re-run after deleting _SUCCESS skips
+    every finished bucket, a deleted bucket file is re-exported without
+    touching the others, and an engineered salted hot key (its max-lsn
+    row living under a salted pid, not its natural one) exports its
+    newest value — the salt-span closure at work."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.export import export_snapshot
+    from etl_ray.util import key_hash64
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=64)  # B=8 buckets
+    out = str(tmp_path / "snap")
+    s = export_snapshot(lake, out)
+    files = sorted(glob.glob(f"{out}/bucket=*/*.parquet"))
+    got = sorted(sha for f in files
+                 for sha in pq.read_table(f)["content_sha256"].to_pylist())
+    assert got == ref_shas(ref_state)
+    assert s["n_buckets"] == len(files) and s["n_skipped"] == 0
+
+    # resume: everything-finished re-run skips all buckets
+    os.remove(f"{out}/_SUCCESS")
+    s2 = export_snapshot(lake, out)
+    assert s2["n_skipped"] == s["n_buckets"]
+    # resume: one missing bucket file is redone, others untouched
+    victim = files[0]
+    os.remove(victim)
+    mtimes = {f: os.path.getmtime(f) for f in files[1:]}
+    s3 = export_snapshot(lake, out)
+    assert s3["n_skipped"] == s["n_buckets"] - 1
+    assert os.path.exists(victim)
+    assert all(os.path.getmtime(f) == t for f, t in mtimes.items())
+
+    # salted hot key: 8193 updates in one epoch salt across pids
+    # q..q+7; the max-lsn event (lsn 8192 ≡ 0 mod 8) stays on the
+    # natural pid but lsn 8191 lands on q+7 — export must not pick it
+    P2 = 64
+    rows = [{"lsn": i, "epoch": 0, "op": "I" if i == 0 else "U",
+             "repo": "org/hot", "path": "x.py", "commit": f"c{i}",
+             "lang": "py", "content": f"v{i}", "size": 1}
+            for i in range(8193)]
+    rows += [{"lsn": 9000 + i, "epoch": 0, "op": "I", "repo": "org/cold",
+              "path": f"f{i}.py", "commit": f"k{i}", "lang": "py",
+              "content": f"cold{i}", "size": 1} for i in range(50)]
+    wal2 = str(tmp_path / "wal_hot")
+    d = os.path.join(wal2, "epoch=0")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/part-0.parquet")
+    lake2 = str(tmp_path / "lake_hot")
+    replay(wal2, lake2, 1, num_partitions=P2)
+    out2 = str(tmp_path / "snap_hot")
+    export_snapshot(lake2, out2)
+    snap = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(f"{out2}/bucket=*/*.parquet")]
+    ).to_pandas()
+    hot = snap[snap.repo == "org/hot"]
+    assert len(hot) == 1 and hot.iloc[0]["content"] == "v8192"
+    assert len(snap) == 51
+    # and the hot row's bucket is its NATURAL bucket
+    kh = int(key_hash64(pa.table({"repo": pa.array(["org/hot"]),
+                                  "path": pa.array(["x.py"])}),
+                        ["repo", "path"])[0])
+    nat_bucket = (kh % P2) * (P2 // 8) // P2
+    bf = glob.glob(f"{out2}/bucket={nat_bucket}/*.parquet")
+    assert any("v8192" in pq.read_table(f)["content"].to_pylist()
+               for f in bf)

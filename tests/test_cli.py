@@ -34,6 +34,19 @@ def test_cli_end_to_end(tmp_path, capsys, ray_session):
     q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert q["n_rows"] > 0 and "l_orderkey" in q["columns"]
 
+    out = str(tmp_path / "snap")
+    assert main(["export", "--lake", lake, "--out", out]) == 0
+    ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex["n_rows"] == comp["live_rows"] and ex["n_skipped"] == 0
+
+    view = str(tmp_path / "view")
+    assert main(["view-create", "--lake", lake, "--view", view,
+                 "--group", "lang", "--sum", "size",
+                 "--as-of", "0"]) == 0
+    assert main(["view-refresh", "--lake", lake, "--view", view]) == 0
+    vr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert vr["as_of_epoch"] == 1 and vr["n_groups"] > 0
+
 
 def test_lake_read_column_pruning(tmp_path, ray_session):
     from etl_ray.pipelines.cdc import replay
