@@ -72,8 +72,9 @@ def _export_bucket(files: list[str], out_path: str, schema_b64: str,
         if keep.any():
             parts.append(t.filter(pa.array(keep)))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    out_schema = pa.schema([f for f in full if f.name not in ("lsn", "op")])
     if not parts:
-        table = full.empty_table()
+        table = out_schema.empty_table()
     else:
         t = pa.concat_tables(parts).combine_chunks()
         lsn = t["lsn"].to_numpy()
@@ -120,11 +121,29 @@ def export_snapshot(lake_dir: str, out_dir: str,
             return sorted({(p % P) * B // P for p in range(lo, hi + 1)})
         return [(key + s) % P for s in range(SALT_FACTOR)]
 
+    def _reverse_span(key: int) -> list[int]:
+        """Natural keys whose span includes ``key`` (inverse of
+        ``_span_keys``)."""
+        if mode == "direct":
+            lo = key * P // B - SALT_FACTOR + 1
+            hi = (key + 1) * P // B - 1
+            return sorted({((p + P) % P) * B // P for p in range(lo, hi + 1)})
+        return [(key - s) % P for s in range(SALT_FACTOR)]
+
+    # export keys = every natural key whose salt span touches a visible
+    # entry — NOT just the visible keys: a hot key whose surviving
+    # events were all salted away (no lsn ≡ 0 mod SALT_FACTOR among
+    # them) can leave its natural entry empty while its rows sit only
+    # under salted neighbours; without the reverse span that key would
+    # silently vanish from the snapshot
+    export_keys = sorted({k for kk in vis for k in _reverse_span(kk)})
     refs = []
     schema_b64 = man["schema_b64"]
-    for k in sorted(set(vis)):
+    for k in export_keys:
         files = list(dict.fromkeys(
             f for kk in _span_keys(k) for f in vis.get(kk, [])))
+        if not files:
+            continue
         out_path = os.path.join(out_dir, f"bucket={k}",
                                 f"part-e{epoch}.parquet")
         refs.append(_export_bucket.remote(

@@ -859,3 +859,41 @@ def test_export_snapshot_resumable_and_salt_correct(wal_dir, ref_state,
     bf = glob.glob(f"{out2}/bucket={nat_bucket}/*.parquet")
     assert any("v8192" in pq.read_table(f)["content"].to_pylist()
                for f in bf)
+
+
+def test_export_fully_salted_key_not_lost(tmp_path):
+    """A hot key whose every surviving event salted AWAY from its
+    natural pid (all lsns ≡ 7 mod SALT_FACTOR) leaves its natural
+    entry empty — the export must still emit it, under its natural
+    bucket, via the reverse salt span (regression: export used to
+    launch tasks only for entry keys with visible files)."""
+    import glob
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.export import export_snapshot
+
+    P2 = 64
+    rows = [{"lsn": 7 + 8 * j, "epoch": 0, "op": "I" if j == 0 else "U",
+             "repo": "org/ghost", "path": "x.py", "commit": f"c{j}",
+             "lang": "py", "content": f"g{j}", "size": 1}
+            for j in range(4096)]
+    rows.append({"lsn": 2, "epoch": 0, "op": "I", "repo": "org/other",
+                 "path": "y.py", "commit": "k", "lang": "py",
+                 "content": "other", "size": 1})
+    wal = str(tmp_path / "wal")
+    d = os.path.join(wal, "epoch=0")
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/part-0.parquet")
+    lake = str(tmp_path / "lake")
+    replay(wal, lake, 1, num_partitions=P2, mode="sorted")
+
+    out = str(tmp_path / "snap")
+    export_snapshot(lake, out)
+    snap = pa.concat_tables(
+        [pq.read_table(f) for f in glob.glob(f"{out}/bucket=*/*.parquet")]
+    ).to_pandas()
+    ghost = snap[snap.repo == "org/ghost"]
+    assert len(ghost) == 1 and ghost.iloc[0]["content"] == "g4095"
+    assert len(snap) == 2
