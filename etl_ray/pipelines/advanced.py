@@ -40,22 +40,27 @@ def asof_join(sf_dir: str):
 
     Partitioning assumption: the small side (rates) is broadcast sorted
     (ray.put once); each batch resolves its as-of match with one
-    np.searchsorted — no shuffle. A large-large as-of join would
-    bucket both sides by key and merge_asof per bucket instead.
+    np.searchsorted — no shuffle. The rates table is DERIVED
+    DISTRIBUTED (per-block distinct hour marks → tiny driver distinct
+    over ≤ blocks × span-hours rows — never a driver read of the fact
+    table's full ts column). A large-large as-of join buckets both
+    sides by time range instead: see asof_join_partitioned.
     """
-    import pyarrow.parquet as pq
-
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
-    hours = pc.floor_temporal(ev["ts"], unit="hour")
-    hours = pc.unique(hours.combine_chunks())
-    hod = pc.hour(hours)
-    marks = hours.filter(pc.equal(pc.subtract(hod, pc.multiply(
-        pc.divide(hod, 3), 3)), 0))  # hour(ts) % 3 == 0
-    rts = np.sort(marks.to_numpy())
-    rate = (rts.astype("datetime64[s]").astype(np.int64)) % 97
-    ref = ray.put((rts.astype("datetime64[us]").astype(np.int64), rate))
-
     ds = read(sf_dir, "events", ["event_id", "ts"])
+
+    def _marks(t: pa.Table) -> pa.Table:
+        hours = pc.unique(pc.floor_temporal(t["ts"], unit="hour")
+                          .combine_chunks())
+        hod = pc.hour(hours)
+        keep = hours.filter(pc.equal(pc.subtract(hod, pc.multiply(
+            pc.divide(hod, 3), 3)), 0))  # hour(ts) % 3 == 0
+        return pa.table({"rts_us": keep.cast(pa.int64())})
+
+    mark_rows = ds.map_batches(_marks, batch_format="pyarrow").take_all()
+    marks_us = np.unique(np.array([r["rts_us"] for r in mark_rows],
+                                  np.int64))
+    rate = (marks_us // 10**6) % 97  # epoch-seconds % 97
+    ref = ray.put((marks_us, rate))
 
     def _probe(t: pa.Table) -> pa.Table:
         marks_us, rates = ray.get(ref)

@@ -391,16 +391,55 @@ class _FrameSamplerKeepMeta(FrameSampler):
         return frames
 
 
-@register("multimodal_pipeline")
+@register(
+    "multimodal_pipeline",
+    # the attach kernels are deterministic closed forms of doc_id, so
+    # the decode outputs ARE DuckDB-expressible: frame indexes, image
+    # dims and audio duration check value-for-value against SQL. The
+    # non-closed-form outputs (pixel_sum, rms, png bytes, raw frames)
+    # stay in the unregistered pipeline surface, pinned by the
+    # roundtrip/RMS pytest suite.
+    """WITH m AS (
+           SELECT doc_id,
+                  8 + (doc_id * 5) % 56 AS n_frames,
+                  8 + (doc_id * 7) % 24 AS width,
+                  8 + (doc_id * 13) % 16 AS height,
+                  200 + (doc_id * 37) % 600 AS n_samples
+           FROM documents
+       )
+       SELECT m.doc_id,
+              CAST(8 * g.i AS BIGINT) AS frame_index,
+              CAST(m.width AS BIGINT) AS width,
+              CAST(m.height AS BIGINT) AS height,
+              CAST(3 AS BIGINT) AS channels,
+              CAST(m.n_samples AS BIGINT) AS n_samples,
+              CAST((m.n_samples * 1000) // 8000 AS BIGINT) AS duration_ms
+       FROM m, generate_series(0, 7) AS g(i)
+       WHERE 8 * g.i < m.n_frames""",
+)
 def multimodal_pipeline(sf_dir: str):
-    """End-to-end multimodal pipeline (T12): attach a REAL PNG image, a
-    REAL WAV audio clip and a (stub) video payload per document, decode
-    image pixels and audio features through chained actor-pool stages,
-    then explode sampled video frames with all per-doc metadata carried
-    per frame — the layout a caption/embedding stage downstream would
-    consume. PNG + WAV decoding is real (pure stdlib, see module
-    docstring); only the video kernel is stubbed. Rows-only oracle
-    (deterministic frame count)."""
+    """End-to-end multimodal pipeline (T12) — VALUE-LEVEL oracle: the
+    registered output projects :func:`multimodal_frames_full` to the
+    decode outputs that are closed forms of doc_id (frame indexes,
+    decoded image dims, audio sample count/duration), checked
+    cell-for-cell against DuckDB."""
+    frames = multimodal_frames_full(sf_dir)
+    return frames.select_columns(["doc_id", "frame_index", "width",
+                                  "height", "channels", "n_samples",
+                                  "duration_ms"])
+
+
+def multimodal_frames_full(sf_dir: str):
+    """Attach a REAL PNG image, a REAL WAV audio clip and a (stub)
+    video payload per document, decode image pixels and audio features
+    through chained actor-pool stages, then explode sampled video
+    frames with all per-doc metadata (incl. the raw frame payload,
+    pixel sums and RMS energy) carried per frame — the layout a
+    caption/embedding stage downstream would consume. PNG + WAV
+    decoding is real (pure stdlib, see module docstring); only the
+    video kernel is stubbed. Unregistered full surface (binary frames
+    and non-closed-form features aren't SQL-expressible); pytest pins
+    the frame payloads + metadata carry."""
     ds = read(sf_dir, "documents", ["doc_id"])
 
     def _attach(t: pa.Table) -> pa.Table:

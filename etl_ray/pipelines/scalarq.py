@@ -110,15 +110,23 @@ def window_hourly(sf_dir: str):
 
     ds = read(sf_dir, "events", ["ts", "event_type", "value"])
 
+    # the window key crosses the shuffle as INT64 (cast back after the
+    # aggregate): ray's hash-shuffle aggregator round-trips timestamp
+    # keys through numpy datetime64 and back, logging a per-task
+    # precision warning and paying the conversion on every block
     def _f(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", expr.date_trunc(t["ts"], "hour")) \
-                .drop_columns(["ts"])
+        hour = pc.cast(expr.date_trunc(t["ts"], "hour"), pa.int64())
+        return t.append_column("hour", hour).drop_columns(["ts"])
+
+    def _fin(t: pa.Table) -> pa.Table:
+        t = fixed_point(t, "total_c", 100)
+        return t.set_column(t.schema.get_field_index("hour"), "hour",
+                            pc.cast(t["hour"], pa.timestamp("us")))
 
     out = (ds.map_batches(_f, batch_format="pyarrow")
            .groupby(["hour", "event_type"])
            .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_c")))
-    return out.map_batches(lambda t: fixed_point(t, "total_c", 100),
-                           batch_format="pyarrow")
+    return out.map_batches(_fin, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------- math

@@ -21,6 +21,10 @@ from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
 
 SESSION_GAP_MIN = 30
+# users are hash-sharded so each map_groups call handles a whole shard
+# of users VECTORIZED (one sort + one diff), not one pandas frame per
+# user — at 100× users the per-group-call Python cost is the killer
+SESSION_SHARDS = 64
 
 
 @register(
@@ -39,21 +43,37 @@ SESSION_GAP_MIN = 30
 def sessionize(sf_dir: str):
     """Gap-based session windows: a session break is a >30-min silence.
 
-    Shuffle key = user_id (the session partition key); in-group order is
-    (ts, event_id). Incremental/streaming variant would keep the last
-    ts per user in an actor — bounded replay makes the groupby exact.
+    Shuffle key = hash(user_id) % SESSION_SHARDS — each shard group
+    holds MANY users and one vectorized pass (sort by (user_id, ts,
+    event_id), boundary mask = new-user OR gap) counts every user's
+    sessions at once. Correct because sessionization only needs
+    per-user co-location, not one group per user.
     """
     ds = read(sf_dir, "events", ["user_id", "ts", "event_id"])
     gap = np.timedelta64(SESSION_GAP_MIN * 60, "s")
 
-    def _sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        prev = g["ts"].shift(1)
-        new_s = prev.isna() | ((g["ts"] - prev) > gap)
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [np.int64(new_s.sum())]})
+    def _shard(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].cast(pa.int64()).to_numpy()
+        sh = (uid * np.int64(0x9E3779B1)) % np.int64(SESSION_SHARDS)
+        return t.append_column("_shard", pa.array(np.abs(sh), pa.int64()))
 
-    return ds.groupby("user_id").map_groups(_sess, batch_format="pandas")
+    def _sess(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n_sessions": pd.Series([], dtype="int64")})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        new_s = np.ones(len(g), dtype=bool)
+        new_s[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        out = (pd.DataFrame({"user_id": uid,
+                             "n": new_s.astype(np.int64)})
+               .groupby("user_id", sort=False)["n"].sum())
+        return pd.DataFrame({"user_id": out.index.to_numpy(),
+                             "n_sessions": out.to_numpy().astype(np.int64)})
+
+    return (ds.map_batches(_shard, batch_format="pyarrow")
+            .groupby("_shard").map_groups(_sess, batch_format="pandas"))
 
 
 # ------------------------------------------- incremental sessionization

@@ -57,6 +57,9 @@ def q6_forecast_revenue(sf_dir: str):
     })
 
 
+BROADCAST_SEMI_MAX = 4_000_000  # build-side keys; ~32 MB int64 broadcast
+
+
 @register(
     "q3_shipping_priority",
     """SELECT l_orderkey,
@@ -73,11 +76,17 @@ def q6_forecast_revenue(sf_dir: str):
 def q3_shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: filtered 3-way join → grouped revenue → top-k.
 
-    The customer side is filtered before the join (predicate pushdown);
-    both joins share the orders axis so the second join keys on the
-    first join's output. Top-k = sort + limit with a deterministic
-    orderkey tie-break matching the oracle.
+    The customer side is filtered before the join (predicate pushdown).
+    The customer semi-join is a BROADCAST `pc.is_in` probe when the
+    filtered build side is small (one `ray.put` of the key array, no
+    shuffle — ~⅕ of customers qualify, so this removes one of the two
+    all-to-all joins); above the cutoff it falls back to the
+    hash-shuffle `left_semi` join for genuine large-large cases.
+    Top-k = sort + limit with a deterministic orderkey tie-break
+    matching the oracle.
     """
+    import ray
+
     cust = read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
                    .select(["c_custkey"]),
@@ -91,23 +100,43 @@ def q3_shipping_priority(sf_dir: str):
     li = read(sf_dir, "lineitem",
               ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    j1 = orders.join(cust, join_type="left_semi",
-                     num_partitions=join_partitions(),
-                     on=("o_custkey",), right_on=("c_custkey",))
+    cust_mat = cust.materialize()  # bounded: a filtered dimension table
+    if cust_mat.count() <= BROADCAST_SEMI_MAX:
+        keys = pa.concat_tables(
+            ray.get(cust_mat.to_arrow_refs()))["c_custkey"].combine_chunks()
+        kref = ray.put(keys)
+
+        def _semi(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["o_custkey"],
+                                     value_set=ray.get(kref)))
+
+        j1 = orders.map_batches(_semi, batch_format="pyarrow")
+    else:
+        j1 = orders.join(cust_mat, join_type="left_semi",
+                         num_partitions=join_partitions(),
+                         on=("o_custkey",), right_on=("c_custkey",))
     j2 = li.join(j1, join_type="inner", num_partitions=join_partitions(),
                  on=("l_orderkey",), right_on=("o_orderkey",))
 
+    # o_orderdate crosses the group shuffle as INT64 (cast back after):
+    # ray's hash-shuffle aggregator round-trips timestamp keys through
+    # numpy datetime64, logging per-task precision warnings
     def _rev(t: pa.Table) -> pa.Table:
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(1, t["l_discount"]))
         return pa.table({"l_orderkey": t["l_orderkey"],
-                         "o_orderdate": t["o_orderdate"],
+                         "o_orderdate": pc.cast(t["o_orderdate"], pa.int64()),
                          "rev": rev})
+
+    def _fin(t: pa.Table) -> pa.Table:
+        t = fixed_point(t, "revenue_c", 100)
+        return t.set_column(
+            t.schema.get_field_index("o_orderdate"), "o_orderdate",
+            pc.cast(t["o_orderdate"], pa.timestamp("us")))
 
     grouped = (j2.map_batches(_rev, batch_format="pyarrow")
                .groupby(["l_orderkey", "o_orderdate"])
                .aggregate(Sum("rev", alias_name="revenue_c")))
-    grouped = grouped.map_batches(lambda t: fixed_point(t, "revenue_c", 100),
-                                  batch_format="pyarrow")
+    grouped = grouped.map_batches(_fin, batch_format="pyarrow")
     return grouped.sort(["revenue_c", "l_orderkey"],
                         descending=[True, False]).limit(10)
 

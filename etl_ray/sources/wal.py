@@ -108,9 +108,14 @@ def _string_slices_from_blob(blob: np.ndarray, off: np.ndarray,
     12 s/batch for the gather vs ~30 ms for this loop."""
     total = len(live)
     lens = np.where(live, ln, 0).astype(np.int64)
+    nchars = int(lens.sum())
+    if nchars >= 2**31:  # int32 StringArray offsets would silently wrap
+        raise ValueError(
+            f"batch content totals {nchars} bytes, over the 2 GiB "
+            "int32-offset StringArray limit — lower the generator batch "
+            "size (or switch this assembler to LargeStringArray)")
     offsets = np.zeros(total + 1, dtype=np.int32)
     offsets[1:] = np.cumsum(lens)
-    nchars = int(offsets[-1])
     data = np.empty(nchars, np.uint8)
     for s, o, l in zip(off[live].tolist(), offsets[:-1][live].tolist(),
                        ln[live].tolist()):
@@ -131,6 +136,10 @@ def _hex_fixed_width(words: list[np.ndarray],
     per-row format calls."""
     total = len(live)
     width = 16 * len(words)
+    if total * width >= 2**31:  # same int32-offset wrap guard as above
+        raise ValueError(
+            f"hex batch totals {total * width} bytes, over the 2 GiB "
+            "int32-offset StringArray limit — lower the batch size")
     chars = np.empty((total, width), dtype=np.uint8)
     for j, x in enumerate(words):
         nib = ((x[:, None] >> _NIB_SHIFTS) & np.uint64(0xF)).astype(np.intp)

@@ -105,6 +105,10 @@ def export_snapshot(lake_dir: str, out_dir: str,
            else mf.manifest_as_of(lake_dir, as_of_epoch))
     if man is None:
         raise FileNotFoundError(f"no committed manifest in {lake_dir}")
+    # span pruning + natural-bucket filters recompute the key hash; a
+    # lake persisted under another hash version would export stale or
+    # missing rows with no error — fence at read time (ADVICE r3)
+    mf.check_key_hash(lake_dir)
     epoch = (mf.last_wal_epoch(lake_dir) if as_of_epoch is None
              else as_of_epoch)
     P = man["num_partitions"]
@@ -114,19 +118,29 @@ def export_snapshot(lake_dir: str, out_dir: str,
 
     def _span_keys(key: int) -> list[int]:
         """Entry keys whose files can hold rows of keys natural to
-        ``key`` (hot-key salting shifts a row's pid by < SALT_FACTOR)."""
+        ``key`` (hot-key salting shifts a row's pid by < SALT_FACTOR).
+
+        The bucket of pid ``p`` is ``p*B//P``, so bucket ``key`` owns
+        pids in [ceil(key*P/B), ceil((key+1)*P/B) - 1]. The upper bound
+        uses CEILING division — floor undercounts the last natural pid
+        whenever (key+1)*P % B != 0, and the salt padding then omits
+        the entry holding a hot key's max-lsn row (ADVICE r3; latent
+        while B divides P, silently wrong for narrower bucketing). The
+        floor lower bound is kept: at worst it over-includes a
+        neighbour's pid, which the natural-bucket row filter discards.
+        """
         if mode == "direct":
             lo = key * P // B
-            hi = (key + 1) * P // B - 1 + SALT_FACTOR - 1
+            hi = -(-(key + 1) * P // B) - 1 + SALT_FACTOR - 1
             return sorted({(p % P) * B // P for p in range(lo, hi + 1)})
         return [(key + s) % P for s in range(SALT_FACTOR)]
 
     def _reverse_span(key: int) -> list[int]:
         """Natural keys whose span includes ``key`` (inverse of
-        ``_span_keys``)."""
+        ``_span_keys``; same ceiling-division bound)."""
         if mode == "direct":
             lo = key * P // B - SALT_FACTOR + 1
-            hi = (key + 1) * P // B - 1
+            hi = -(-(key + 1) * P // B) - 1
             return sorted({((p + P) % P) * B // P for p in range(lo, hi + 1)})
         return [(key - s) % P for s in range(SALT_FACTOR)]
 

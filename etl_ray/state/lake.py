@@ -139,6 +139,10 @@ def lookup(lake_dir: str, repo: str, path: str) -> dict | None:
     man = mf.last_manifest(lake_dir)
     if man is None:
         return None
+    # the candidate-bucket probe below replays PERSISTED routing — a
+    # lake written under another key-hash version would silently return
+    # None / stale rows, so fence at read time too (ADVICE r3)
+    mf.check_key_hash(lake_dir)
     P = man["num_partitions"]
     mode = mf.lake_mode(lake_dir) or "sorted"
     kh = int(key_hash64(pa.table({"repo": pa.array([repo]),
@@ -183,6 +187,7 @@ def changes_between(lake_dir: str, from_epoch: int,
     (tested) — the engine is therefore both a CDC consumer and a CDC
     producer for downstream incremental pipelines.
     """
+    mf.check_key_hash(lake_dir)  # defensive read-side version fence
     files = mf.change_files(lake_dir, from_epoch, to_epoch)
     man = mf.manifest_as_of(lake_dir, to_epoch)
     if not files or man is None:
@@ -360,6 +365,10 @@ def compact(lake_dir: str, buckets: list[int] | None = None) -> int:
     man = mf.last_manifest(lake_dir)
     if man is None:
         return 0
+    # compaction re-buckets rows with THIS build's key hash and carries
+    # hwm/covered keys from the persisted manifests — version-mixed
+    # routing would commit a base that loses keys; fence first
+    mf.check_key_hash(lake_dir)
     schema = mf.current_schema(lake_dir)
     P = man["num_partitions"]
     mode = mf.lake_mode(lake_dir) or "sorted"

@@ -199,7 +199,7 @@ def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
         raise EpochFencingError(
             f"cannot commit epoch {epoch}: last committed is {last_wal} "
             "(epochs are fenced to commit monotonically, no gaps)")
-    _check_key_hash(lake_dir)
+    check_key_hash(lake_dir)
     doc = {
         "epoch": epoch,
         "num_partitions": num_partitions,
@@ -214,10 +214,16 @@ def commit_epoch(lake_dir: str, epoch: int, schema: pa.Schema,
     return True
 
 
-def _check_key_hash(lake_dir: str) -> None:
+def check_key_hash(lake_dir: str) -> None:
     """Partition routing (pid/bucket per key) is persisted in the
     manifest log; mixing manifests written under different key-hash
-    functions silently misroutes reads, so refuse loudly."""
+    functions silently misroutes keys, so refuse loudly. Enforced on
+    BOTH sides: commits (commit_epoch / commit_base) and every read
+    path that consumes persisted routing — lookup's candidate-bucket
+    probe, export's salt-span pruning, partial compaction's target
+    closure, and the change feed (defensively; its resolve recomputes
+    hashes and is version-independent, but a version-mixed lake is
+    already corrupt-adjacent and should fail fast everywhere)."""
     man = last_manifest(lake_dir)
     if man is None:
         return
@@ -238,7 +244,7 @@ def commit_base(lake_dir: str, schema: pa.Schema, partitions: dict[int, dict],
     visible files of the keys it covers (bucket-subset compaction).
     Carries the last WAL epoch (and the lake's keying mode) forward so
     resume and fencing are unaffected. Returns its sequence."""
-    _check_key_hash(lake_dir)
+    check_key_hash(lake_dir)
     seq = last_committed(lake_dir) + 1
     doc = {
         "epoch": last_wal_epoch(lake_dir),

@@ -217,6 +217,30 @@ class MergeApplier:
         })
 
 
+# per-WORKER memo of deserialized high-watermark index arrays, keyed by
+# (object ref, bucket count): one ray.get + one O(buckets) build per
+# worker per epoch window instead of per batch (the views.py _memo
+# pattern). Bounded — concurrent windows keep at most a few refs live.
+_HWM_MEMO: dict[tuple[str, int], np.ndarray] = {}
+
+
+def _hwm_index(hwm_ref, num_buckets: int) -> np.ndarray:
+    if hwm_ref is None:
+        return np.full(num_buckets, -1, dtype=np.int64)
+    key = (hwm_ref.hex(), num_buckets)
+    arr = _HWM_MEMO.get(key)
+    if arr is None:
+        hwm = ray.get(hwm_ref)
+        arr = np.full(num_buckets, -1, dtype=np.int64)
+        for b, v in hwm.items():
+            if 0 <= int(b) < num_buckets:
+                arr[int(b)] = v
+        if len(_HWM_MEMO) > 8:
+            _HWM_MEMO.clear()
+        _HWM_MEMO[key] = arr
+    return arr
+
+
 def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
                          num_partitions: int, num_buckets: int):
     """Direct-write ingest stage (map_batches over prepared events).
@@ -259,17 +283,14 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
         empty = pa.Table.from_pylist([], schema=_ENTRY_SCHEMA)
         if len(batch) == 0:
             return empty
-        hwm = ray.get(hwm_ref) if hwm_ref is not None else {}
         lsn = batch["lsn"].to_numpy()
         epochs = batch["epoch"].to_numpy().astype(np.int64)
         bucket = (batch["pid"].to_numpy().astype(np.int64)
                   * num_buckets // num_partitions)
 
         # A3 idempotency: vectorized per-bucket high-watermark filter
-        hwm_arr = np.full(num_buckets, -1, dtype=np.int64)
-        for b, v in hwm.items():
-            if 0 <= int(b) < num_buckets:
-                hwm_arr[int(b)] = v
+        # (index deserialized + built once per worker per window)
+        hwm_arr = _hwm_index(hwm_ref, num_buckets)
         live = lsn > hwm_arr[bucket]
         audit_ok = batch["audit_ok"].to_numpy(zero_copy_only=False)
         audit_ok = audit_ok.astype(bool)

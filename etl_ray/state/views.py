@@ -57,7 +57,11 @@ def _agg_partials(ds: "ray.data.Dataset", group_cols: list[str],
 
     def _partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({c: pa.array([], pa.string())
+            # group-column types must come from the INPUT schema — a
+            # hardcoded string() conflicts with int group columns
+            # whenever an empty block appears (ADVICE r3), which the
+            # changed-key filter guarantees
+            return pa.table({c: pa.array([], t.schema.field(c).type)
                              for c in group_cols} |
                             {"n": pa.array([], pa.int64())} |
                             {f"sum_{c}": pa.array([], pa.int64())
@@ -96,19 +100,37 @@ def _combine(frames: list[pd.DataFrame], group_cols: list[str],
 
 
 def _write_state(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
+    """Atomic two-file state swap: the view lands under an EPOCH-NAMED
+    file first, then meta.json atomically flips to point at it — the
+    single commit point. A crash between the two writes leaves the old
+    meta referencing the old (untouched) file, so a re-run re-applies
+    the delta onto the un-advanced state instead of double-counting
+    (ADVICE r3). Superseded view files are GC'd only after the flip."""
     os.makedirs(view_dir, exist_ok=True)
-    tmp = os.path.join(view_dir, f".view.tmp.{os.getpid()}")
+    fname = f"view-e{int(meta['as_of_epoch'])}.parquet"
+    tmp = os.path.join(view_dir, f".{fname}.tmp.{os.getpid()}")
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
-    os.replace(tmp, os.path.join(view_dir, "view.parquet"))
+    os.replace(tmp, os.path.join(view_dir, fname))
+    meta = dict(meta, view_file=fname)
     tmp = os.path.join(view_dir, f".meta.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(view_dir, "meta.json"))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(view_dir, "meta.json"))  # commit point
+    for name in os.listdir(view_dir):  # best-effort GC of old states
+        if (name.startswith("view") and name.endswith(".parquet")
+                and name != fname):
+            try:
+                os.unlink(os.path.join(view_dir, name))
+            except OSError:
+                pass
 
 
 def read_view(view_dir: str) -> pa.Table:
     """The materialized rows (one per group), sorted by group."""
-    return pq.read_table(os.path.join(view_dir, "view.parquet"))
+    fname = view_meta(view_dir).get("view_file", "view.parquet")
+    return pq.read_table(os.path.join(view_dir, fname))
 
 
 def view_meta(view_dir: str) -> dict:

@@ -10,11 +10,26 @@ mandated by BASELINE.json:2 ("100% sha256 row-equality").
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
+
+# Optional Arrow-jemalloc page-retention tuning (opt-in via env so it
+# reaches every Ray worker — they inherit the driver env and import
+# this module). Motivation: this sandbox's kernel fresh-page fault
+# path collapses under many concurrent faulting processes
+# (BASELINE.md r3: 1/4/16 procs fault at 1.5/5.6/0.4 GB/s); raising
+# jemalloc's dirty-page decay keeps freed batch buffers mapped so the
+# next batch reuses warm pages instead of re-faulting fresh ones.
+_decay_ms = os.environ.get("ETL_RAY_JEMALLOC_DECAY_MS")
+if _decay_ms:
+    try:
+        pa.jemalloc_set_decay_ms(int(_decay_ms))
+    except (ValueError, NotImplementedError, OSError):
+        pass
 
 # Version tag for the key-hash function (recorded in lake manifests:
 # partition routing is persisted, so a lake written under one hash

@@ -184,14 +184,21 @@ def test_multimodal_decode_roundtrip(registry):
 
 
 def test_multimodal_frame_sampling(registry):
-    from etl_ray.pipelines.multimodal import FRAME_BYTES
+    from etl_ray.pipelines.multimodal import (FRAME_BYTES,
+                                              multimodal_frames_full)
 
     queries, _ = registry
+    # full surface: every sampled frame has the fixed frame payload
+    # size and carries the image metadata per frame
+    full = _to_pandas(multimodal_frames_full(SF_DIR))
+    assert (full["frame"].map(len) == FRAME_BYTES).all()
+    assert {"width", "height", "channels", "n_bytes",
+            "pixel_sum", "rms_e4"} <= set(full.columns)
+    # registered projection: SQL-checkable columns only, same rows,
+    # per-doc count matches ceil(n_frames/stride)
     out = _to_pandas(queries["multimodal_pipeline"](SF_DIR))
-    # every sampled frame has the fixed frame payload size, carries the
-    # image metadata, and the per-doc count matches ceil(n_frames/stride)
-    assert (out["frame"].map(len) == FRAME_BYTES).all()
-    assert {"width", "height", "channels", "n_bytes"} <= set(out.columns)
+    assert len(out) == len(full)
+    assert "frame" not in out.columns
     per_doc = out.groupby("doc_id").size()
     for doc_id, n in list(per_doc.items())[:20]:
         n_frames = 8 + (doc_id * 5) % 56
