@@ -50,6 +50,39 @@ def _natural_entry_keys(kh: np.ndarray, P: int, mode: str,
     return pid
 
 
+def span_keys(key: int, P: int, B: int, mode: str,
+              salt_factor: int) -> list[int]:
+    """Entry keys whose files can hold rows of keys natural to ``key``
+    (hot-key salting shifts a row's pid by < salt_factor).
+
+    The bucket of pid ``p`` is ``p*B//P``, so bucket ``key`` owns pids
+    in [ceil(key*P/B), ceil((key+1)*P/B) - 1]. The upper bound uses
+    CEILING division — floor undercounts the last natural pid whenever
+    (key+1)*P % B != 0, and the salt padding then omits the entry
+    holding a hot key's max-lsn row (ADVICE r3; latent while B divides
+    P, silently wrong for narrower bucketing). The floor lower bound is
+    kept: at worst it over-includes a neighbour's pid, which the
+    natural-bucket row filter discards. Module-level (not a closure) so
+    the bound is property-tested over non-dividing (P, B) pairs.
+    """
+    if mode == "direct":
+        lo = key * P // B
+        hi = -(-(key + 1) * P // B) - 1 + salt_factor - 1
+        return sorted({(p % P) * B // P for p in range(lo, hi + 1)})
+    return [(key + s) % P for s in range(salt_factor)]
+
+
+def reverse_span(key: int, P: int, B: int, mode: str,
+                 salt_factor: int) -> list[int]:
+    """Natural keys whose span includes ``key`` (inverse of
+    :func:`span_keys`; same ceiling-division bound)."""
+    if mode == "direct":
+        lo = key * P // B - salt_factor + 1
+        hi = -(-(key + 1) * P // B) - 1
+        return sorted({((p + P) % P) * B // P for p in range(lo, hi + 1)})
+    return [(key - s) % P for s in range(salt_factor)]
+
+
 @ray.remote
 def _export_bucket(files: list[str], out_path: str, schema_b64: str,
                    key: int, P: int, mode: str, num_buckets: int) -> dict:
@@ -117,32 +150,10 @@ def export_snapshot(lake_dir: str, out_dir: str,
     vis = mf.visible_entry_files(lake_dir, as_of_epoch=as_of_epoch)
 
     def _span_keys(key: int) -> list[int]:
-        """Entry keys whose files can hold rows of keys natural to
-        ``key`` (hot-key salting shifts a row's pid by < SALT_FACTOR).
-
-        The bucket of pid ``p`` is ``p*B//P``, so bucket ``key`` owns
-        pids in [ceil(key*P/B), ceil((key+1)*P/B) - 1]. The upper bound
-        uses CEILING division — floor undercounts the last natural pid
-        whenever (key+1)*P % B != 0, and the salt padding then omits
-        the entry holding a hot key's max-lsn row (ADVICE r3; latent
-        while B divides P, silently wrong for narrower bucketing). The
-        floor lower bound is kept: at worst it over-includes a
-        neighbour's pid, which the natural-bucket row filter discards.
-        """
-        if mode == "direct":
-            lo = key * P // B
-            hi = -(-(key + 1) * P // B) - 1 + SALT_FACTOR - 1
-            return sorted({(p % P) * B // P for p in range(lo, hi + 1)})
-        return [(key + s) % P for s in range(SALT_FACTOR)]
+        return span_keys(key, P, B, mode, SALT_FACTOR)
 
     def _reverse_span(key: int) -> list[int]:
-        """Natural keys whose span includes ``key`` (inverse of
-        ``_span_keys``; same ceiling-division bound)."""
-        if mode == "direct":
-            lo = key * P // B - SALT_FACTOR + 1
-            hi = -(-(key + 1) * P // B) - 1
-            return sorted({((p + P) % P) * B // P for p in range(lo, hi + 1)})
-        return [(key - s) % P for s in range(SALT_FACTOR)]
+        return reverse_span(key, P, B, mode, SALT_FACTOR)
 
     # export keys = every natural key whose salt span touches a visible
     # entry — NOT just the visible keys: a hot key whose surviving

@@ -897,3 +897,93 @@ def test_export_fully_salted_key_not_lost(tmp_path):
     ghost = snap[snap.repo == "org/ghost"]
     assert len(ghost) == 1 and ghost.iloc[0]["content"] == "g4095"
     assert len(snap) == 2
+
+
+def test_export_salt_span_closure_any_bucketing():
+    """span_keys/reverse_span must close over every salted landing
+    bucket for ANY (P, B) pair — including B that does not divide P,
+    where the old floor-division upper bound dropped the bucket's last
+    natural pid and the closure could omit the entry holding a hot
+    key's max-lsn row (ADVICE r3)."""
+    from etl_ray.state.export import reverse_span, span_keys
+    from etl_ray.state.merge import SALT_FACTOR
+
+    for P2, B in [(64, 8), (12, 5), (13, 5), (7, 3), (96, 7),
+                  (33, 33), (10, 1), (19, 6)]:
+        for p in range(P2):
+            nat = p * B // P2
+            span = set(span_keys(nat, P2, B, "direct", SALT_FACTOR))
+            for s in range(SALT_FACTOR):
+                b_s = ((p + s) % P2) * B // P2
+                # forward closure: every bucket a salted row of a
+                # key natural to `nat` can land in is read by nat's task
+                assert b_s in span, (P2, B, p, s)
+                # reverse closure: the landing bucket's reverse span
+                # names `nat`, so nat's export task is LAUNCHED even if
+                # its natural entry is empty (fully-salted ghost key)
+                assert nat in reverse_span(b_s, P2, B, "direct",
+                                           SALT_FACTOR), (P2, B, p, s)
+    # sorted mode: pid-keyed spans are plain modular windows
+    assert span_keys(6, 8, 8, "sorted", 4) == [6, 7, 0, 1]
+    assert reverse_span(1, 8, 8, "sorted", 4) == [1, 0, 7, 6]
+
+
+def test_view_crash_between_state_files_recovers(wal_dir, tmp_path):
+    """A refresh that crashed after writing the new view file but
+    BEFORE the meta flip must leave readers on the old committed
+    state, and the re-run must apply the delta onto that old state
+    (no double-counting) — the atomic two-file swap (ADVICE r3)."""
+    import os
+
+    import pyarrow as pa
+
+    from etl_ray.state.views import (create_view, read_view,
+                                     refresh_view, view_meta)
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    vdir = str(tmp_path / "view")
+    create_view(lake, vdir, ["lang"], ["size"], as_of_epoch=0)
+    before = read_view(vdir).to_pandas()
+
+    # simulated crash artifact: the epoch-named view file landed,
+    # meta.json did not — fill it with garbage to prove readers and
+    # the re-run never trust an uncommitted state file
+    orphan = os.path.join(vdir, f"view-e{N_EPOCHS - 1}.parquet")
+    pq.write_table(pa.table({"lang": ["xx"], "n": [999],
+                             "sum_size": [999]}), orphan)
+    assert read_view(vdir).to_pandas().equals(before)
+    assert view_meta(vdir)["as_of_epoch"] == 0
+
+    refresh_view(lake, vdir)
+    t = read_lake(lake, columns=["lang", "size"], keep_sha=False).to_pandas()
+    g = t.groupby("lang", dropna=False)
+    want = g.size().rename("n").to_frame()
+    want["sum_size"] = g["size"].sum().astype("int64")
+    want = want.reset_index().sort_values("lang", ignore_index=True)
+    got = read_view(vdir).to_pandas()[["lang", "n", "sum_size"]]
+    assert got.reset_index(drop=True).equals(want)
+    # the orphan was superseded and GC'd after the committed flip
+    assert view_meta(vdir)["view_file"] == f"view-e{N_EPOCHS - 1}.parquet"
+
+
+def test_view_int_group_column(wal_dir, tmp_path):
+    """Grouping a view by an INT column must survive empty partial
+    blocks (the changed-key retraction filter guarantees some): the
+    empty partial's group-column type comes from the input schema, not
+    a hardcoded string (ADVICE r3)."""
+    from etl_ray.state.views import create_view, read_view, refresh_view
+
+    lake = str(tmp_path / "lake")
+    replay(wal_dir, lake, N_EPOCHS, num_partitions=P)
+    vdir = str(tmp_path / "view_int")
+    create_view(lake, vdir, ["size"], [], as_of_epoch=0)
+    refresh_view(lake, vdir)
+
+    t = read_lake(lake, columns=["size"], keep_sha=False).to_pandas()
+    want = (t.groupby("size", dropna=False).size().rename("n")
+            .reset_index().sort_values("size", ignore_index=True))
+    got = (read_view(vdir).to_pandas()[["size", "n"]]
+           .sort_values("size", ignore_index=True))
+    assert got["n"].astype("int64").equals(want["n"].astype("int64"))
+    assert got["size"].astype("int64").equals(want["size"].astype("int64"))
