@@ -11,8 +11,11 @@ Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR``
 processes at two parallelism pairs on the same synthesized WAL — the
 sandbox proxy for the N→4N-node cluster criterion in BASELINE.json:2
 (no real cluster is available here). It reports BOTH pairs, 8→32 CPUs
-(the driver-suggested pair) and 4→16 CPUs, with every trial wall
-recorded. Single-VM caveats, measured (see BASELINE.md for the full
+(the driver-suggested pair) and 4→16 CPUs, with every trial wall AND
+a per-trial host-health probe recorded (self-certifying artifact).
+The protocol lake lives on tmpfs by default — the per-node-disk
+proxy; see the SCALING_LAKE_ROOT note for the measured single-device
+throttling evidence that motivates it. Single-VM caveats, measured (see BASELINE.md for the full
 evidence): pure compute scales 0.87-0.94 to 32 workers and warm
 memcpy scales to ~100 GB/s aggregate, but (a) the kernel's
 fresh-page fault path collapses under many concurrent faulting
@@ -48,8 +51,33 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # comparison measures the pipeline, not the orchestration floor.
 CDC_KEYS, CDC_REPOS, CDC_EPOCHS, CDC_PARTITIONS = 2_200_000, 11_000, 4, 128
 CDC_UPDATE_P = 0.85  # update-heavy churn: ~7.8 events/key (CDC regime)
-WAL_DIR = f"/tmp/etl_ray_bench/wal3_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
+# wal4: zstd-3 WAL files (same logical events as wal3 — smaller bytes,
+# 2× faster decode; see etl_ray/state/merge.py compression note)
+WAL_DIR = f"/tmp/etl_ray_bench/wal4_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
 SCALING_PAIRS = ((8, 32), (4, 16))  # N→4N pairs (see module docstring)
+
+# Lake target for the SCALING protocol children: tmpfs by default.
+# Round-4 finding (full evidence in BASELINE.md): this VM's virtio
+# disk is token-bucket throttled — ~40 MB/s sustained for whole hours
+# with a ~1-2 GB burst bucket — and it is ONE device shared by both
+# proxy "cluster sizes". The replay writes ~2 GB of deltas, so in a
+# throttled phase every parallelism level converges to the same
+# disk-drain wall (measured: best walls 58/51/34/48 s at 4/8/16/32
+# CPUs, i.e. the 8→32 "efficiency" measures the throttle, not the
+# engine). On a real N→4N cluster each node brings its own disk, so
+# aggregate disk bandwidth scales 4× with the cluster — a fixed
+# shared-device budget is precisely the artifact the proxy must not
+# measure. A tmpfs lake reproduces the healthy-window behavior
+# (writes land in page cache, drain async) deterministically at every
+# level. The default bench mode (BENCH json queries table) remains
+# fully disk-backed and self-certified by its host probe; the scaling
+# JSON records `lake_backend` so the artifact states which regime it
+# measured. Set RAY_GRAFT_SCALING_LAKE to a disk path to force the
+# disk-backed protocol.
+SCALING_LAKE_ROOT = os.environ.get(
+    "RAY_GRAFT_SCALING_LAKE",
+    "/dev/shm/etl_ray_bench" if os.path.isdir("/dev/shm")
+    else "/tmp/etl_ray_bench")
 
 BENCH_QUERIES = [
     "agg_group_q1",       # groupby shuffle over lineitem 600k
@@ -94,6 +122,14 @@ HEALTH_MIN_FIRST_TOUCH_GBPS = 0.7
 # the "host drifts 2-3× on ~10-minute scales" signature round 3 could
 # not attribute. The disk axis is invisible to memory probes.
 HEALTH_MIN_DISK_WRITE_MBPS = 150
+# Parallel-compute floor: in a healthy window 16 threads hashing
+# private in-cache buffers reach >=0.85 of 16x the single-thread rate
+# (measured 0.92 at 8->32 procs). In the round-4 overnight sick
+# windows the box ran @32 replay walls 5-10x slow while EVERY
+# single-threaded axis (first-touch, memcpy, sha, disk) read healthy
+# — the sickness (hypervisor CPU contention) only appears when many
+# vCPUs are busy at once, so the gate must include a many-core axis.
+HEALTH_MIN_PAR_SHA_EFF = 0.55
 
 
 def _host_probe() -> dict:
@@ -124,20 +160,59 @@ def _host_probe() -> dict:
     t0 = time.perf_counter()
     hashlib.sha256(buf).hexdigest()
     res["sha256_gbps"] = round(64 / 1024 / (time.perf_counter() - t0), 2)
-    # disk write: 128 MB fdatasync'd — the replay is write-heavy, and
-    # this VM's virtio disk is the axis that actually drifts 2-5×
+    # parallel compute: 16 threads each hashing a private warm 8 MB
+    # slice (hashlib releases the GIL on large updates, so plain
+    # threads saturate cores — no fork inside a live Ray driver).
+    # par_sha_eff = aggregate rate / (nthreads x single-thread rate);
+    # collapses under hypervisor CPU contention, the one axis the
+    # single-threaded probes above cannot see.
+    import threading
+    nthread = min(16, os.cpu_count() or 16)
+    slices = [bytes(memoryview(a)[i * (8 << 20):(i + 1) * (8 << 20)])
+              for i in range(nthread)]
+    iters = 8
+
+    def _hash_loop(s: bytes) -> None:
+        for _ in range(iters):
+            hashlib.sha256(s).digest()
+
+    threads = [threading.Thread(target=_hash_loop, args=(s,))
+               for s in slices]
+    t0 = time.perf_counter()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    par_wall = time.perf_counter() - t0
+    agg = nthread * iters * 8 / 1024 / par_wall
+    res["par_sha_agg_gbps"] = round(agg, 2)
+    res["par_sha_eff"] = round(
+        agg / (nthread * max(res["sha256_gbps"], 1e-9)), 3)
+    # disk write, two fdatasync'd 128 MB chunks: the FIRST reads the
+    # burst bucket (this VM's virtio disk is token-bucket rate-limited:
+    # measured 180 MB/s burst then ~40 MB/s sustained in the round-4
+    # sick phase), the SECOND approximates the sustained rate — which
+    # is what throttles the job: once the kernel's per-device dirty
+    # threshold (∝ writeback bandwidth) is hit, balance_dirty_pages
+    # blocks pq.write_table INSIDE the fused task and UDF seconds
+    # inflate 2-3× (measured: 1062 s total UDF vs 469 s healthy, with
+    # 20× per-task variance). Health gates on the sustained chunk.
     probe_f = "/tmp/.etl_ray_disk_probe"
     try:
         chunk = memoryview(a)[: 8 << 20]
-        t0 = time.perf_counter()
+        rates = []
         fd = os.open(probe_f, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
         try:
-            for _ in range(16):
-                os.write(fd, chunk)
-            os.fsync(fd)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(16):
+                    os.write(fd, chunk)
+                os.fsync(fd)
+                rates.append(round(128 / (time.perf_counter() - t0), 1))
         finally:
             os.close(fd)
-        res["disk_write_mbps"] = round(128 / (time.perf_counter() - t0), 1)
+        res["disk_write_burst_mbps"] = rates[0]
+        res["disk_write_mbps"] = rates[1]  # sustained — the gate axis
         os.unlink(probe_f)
     except OSError:
         res["disk_write_mbps"] = None
@@ -148,6 +223,7 @@ def _host_probe() -> dict:
         pass
     res["healthy"] = (
         res["first_touch_gbps"] >= HEALTH_MIN_FIRST_TOUCH_GBPS
+        and res["par_sha_eff"] >= HEALTH_MIN_PAR_SHA_EFF
         and (res["disk_write_mbps"] is None
              or res["disk_write_mbps"] >= HEALTH_MIN_DISK_WRITE_MBPS))
     return res
@@ -163,24 +239,38 @@ def _request_compaction() -> None:
         pass
 
 
-def _probe_until_healthy(max_wait_s: float = 60.0) -> dict:
+def _probe_until_healthy(max_wait_s: float = 60.0,
+                         need_disk: bool = True) -> dict:
     """Probe; if sick, drain writeback + request compaction and retry
     until healthy or the wait budget runs out. Returns the LAST probe,
     annotated with every earlier attempt — a sick window is recorded,
     never hidden. Measured on this VM: the disk axis swings 28→379
     MB/s within seconds once a writeback backlog drains, so waiting
     (not just retrying the whole trial) is what recovers a clean
-    measurement."""
+    measurement.
+
+    ``need_disk=False`` drops the disk axis from the gate (it stays in
+    the record): the scaling children write their lake to tmpfs and
+    read a page-cache-warm WAL, so a throttled disk does not touch
+    their timed path — gating them on it would burn healthy compute
+    windows waiting for an irrelevant device."""
     t0 = time.perf_counter()
     attempts = []
     while True:
         p = _host_probe()
-        if p["healthy"] or time.perf_counter() - t0 > max_wait_s:
+        ok = p["healthy"] if need_disk else (
+            p["first_touch_gbps"] >= HEALTH_MIN_FIRST_TOUCH_GBPS
+            and p["par_sha_eff"] >= HEALTH_MIN_PAR_SHA_EFF)
+        if not need_disk:
+            p["healthy"] = ok  # gate actually applied to this trial
+            p["gated_on_disk"] = False
+        if ok or time.perf_counter() - t0 > max_wait_s:
             if attempts:
                 p["prior_attempts"] = attempts
             return p
         attempts.append({k: p[k] for k in
-                         ("first_touch_gbps", "disk_write_mbps")})
+                         ("first_touch_gbps", "disk_write_mbps",
+                          "par_sha_eff")})
         _request_compaction()
         os.sync()
         time.sleep(4)
@@ -201,6 +291,16 @@ def _init_ray(num_cpus: int) -> None:
     import ray
 
     _tune_host()
+
+    # Experiment knob (RAY_GRAFT_MALLOC_RETAIN=1): make workers RETAIN
+    # freed pages instead of returning them to the kernel — glibc trims
+    # the heap and munmaps >128 KB blocks on free, so every batch
+    # re-faults fresh pages, and this VM's concurrent fresh-page fault
+    # path collapses under many faulting procs (BASELINE.md round 3:
+    # 1/4/16 procs fault at 1.5/5.6/0.4 GB/s). Workers inherit the env.
+    if os.environ.get("RAY_GRAFT_MALLOC_RETAIN") == "1":
+        os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+        os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
 
     if not ray.is_initialized():
         kw = ({"object_store_memory": OBJECT_STORE_BYTES}
@@ -337,9 +437,13 @@ def run_cdc_child(num_cpus: int) -> None:
     import ray
 
     _init_ray(num_cpus)
-    probe = _probe_until_healthy()
+    backend = ("tmpfs" if SCALING_LAKE_ROOT.startswith("/dev/shm")
+               else "disk")
+    # tmpfs-lake trials never touch the disk on the timed path (lake in
+    # tmpfs, WAL pre-read below) — gate them on memory+compute only
+    probe = _probe_until_healthy(need_disk=(backend == "disk"))
     wal = _ensure_wal(WAL_DIR)
-    lake = f"/tmp/etl_ray_bench/lake_c{num_cpus}"
+    lake = os.path.join(SCALING_LAKE_ROOT, f"lake_c{num_cpus}")
     shutil.rmtree(lake, ignore_errors=True)
     from etl_ray.pipelines.cdc import replay
 
@@ -353,6 +457,12 @@ def run_cdc_child(num_cpus: int) -> None:
     def _warm(b):
         import etl_ray.state.merge  # noqa: F401 — pre-import in workers
         import etl_ray.state.schema  # noqa: F401
+        if os.environ.get("RAY_GRAFT_MALLOC_RETAIN") == "1":
+            import pyarrow as _pa  # retain Arrow-pool pages 10 s between
+            try:                   # allocations (see _init_ray note)
+                _pa.jemalloc_set_decay_ms(10_000)
+            except (AttributeError, _pa.ArrowException):
+                pass
         return b
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
@@ -365,9 +475,11 @@ def run_cdc_child(num_cpus: int) -> None:
 
     s = replay(wal, lake, CDC_EPOCHS, num_partitions=CDC_PARTITIONS,
                concurrency=None)
+    shutil.rmtree(lake, ignore_errors=True)  # free tmpfs pages promptly
     print(json.dumps({"num_cpus": num_cpus, "n_events": s["n_events"],
                       "wall_s": round(s["wall_s"], 3),
                       "events_per_s": round(s["events_per_s"], 1),
+                      "lake_backend": backend,
                       "host_probe": probe}))
 
 
@@ -396,29 +508,34 @@ def run_scaling() -> dict:
         return json.loads(line)
 
     levels = sorted({n for pair in SCALING_PAIRS for n in pair})
-    results = {}
-    all_walls = {}
-    all_probes = {}
-    for n in levels:
-        # three runs per level, keep the fastest: the sandbox's shared
-        # disk/page-cache gives individual runs 2-3× wall variance, and
-        # the criterion is steady-state throughput per cluster size —
-        # best-of-N is the honest estimator of that (every trial is
-        # recorded in the output for inspection). A trial whose own
-        # host probe came back unhealthy is re-run once (the probe is
-        # recorded either way — self-certifying protocol, VERDICT r3).
-        runs = []
-        for _ in range(3):
+    # INTERLEAVED rounds (round 4): the host's health oscillates 3-10×
+    # on minute scales (measured @32 walls 11.5→105→34 s within one
+    # hour with every probe axis green). Running all of one level's
+    # trials back-to-back confounds level with window — one overnight
+    # run recorded eff 0.107 because @8 landed in a healthy window and
+    # @32 in a sick one. Each ROUND runs the full ladder inside ~one
+    # window, so per-round efficiencies are window-coherent; per-level
+    # best-of across rounds (healthy-probe preferred) remains the
+    # steady-state throughput estimator for the headline. Every trial
+    # wall + probe is recorded — self-certifying either way.
+    rounds = 3
+    all_runs: dict[int, list] = {n: [] for n in levels}
+    round_runs: list[dict] = []
+    for _ in range(rounds):
+        this_round = {}
+        for n in levels:
             r = _child(n)
             if not r.get("host_probe", {}).get("healthy", True):
-                runs.append(r)  # keep the sick trial in the record
+                all_runs[n].append(r)  # keep the sick trial on record
                 r = _child(n)
-            runs.append(r)
-        all_walls[n] = [round(r["wall_s"], 2) for r in runs]
-        all_probes[n] = [r.get("host_probe", {}) for r in runs]
-        healthy = [r for r in runs
+            all_runs[n].append(r)
+            this_round[n] = r
+        round_runs.append(this_round)
+    results = {}
+    for n in levels:
+        healthy = [r for r in all_runs[n]
                    if r.get("host_probe", {}).get("healthy", True)]
-        results[n] = min(healthy or runs, key=lambda r: r["wall_s"])
+        results[n] = min(healthy or all_runs[n], key=lambda r: r["wall_s"])
 
     detail = {}
     effs = {}
@@ -426,11 +543,19 @@ def run_scaling() -> dict:
         t_lo, t_hi = results[lo]["events_per_s"], results[hi]["events_per_s"]
         effs[(lo, hi)] = (t_hi / t_lo) / (hi / lo) if t_lo > 0 else 0.0
         detail[f"eff_{lo}_to_{hi}"] = round(effs[(lo, hi)], 3)
+        # window-coherent ratios: both levels of a pair measured inside
+        # the same round (~minutes apart), one ratio per round
+        detail[f"round_effs_{lo}_to_{hi}"] = [
+            round((rr[hi]["events_per_s"] / rr[lo]["events_per_s"])
+                  / (hi / lo), 3)
+            for rr in round_runs if rr[lo]["events_per_s"] > 0]
     for n in levels:
         detail[f"events_per_s@{n}"] = results[n]["events_per_s"]
         detail[f"wall_s@{n}"] = results[n]["wall_s"]
-        detail[f"trial_walls@{n}"] = all_walls[n]
-        detail[f"probes@{n}"] = all_probes[n]
+        detail[f"trial_walls@{n}"] = [round(r["wall_s"], 2)
+                                      for r in all_runs[n]]
+        detail[f"probes@{n}"] = [r.get("host_probe", {})
+                                 for r in all_runs[n]]
     lo, hi = SCALING_PAIRS[0]
     return {
         "metric": "cdc_scaling_efficiency",
@@ -440,6 +565,9 @@ def run_scaling() -> dict:
         "sf": _sf_from_dir(SF_DIR),
         "num_cpus": hi,
         "n_events": results[hi]["n_events"],
+        # which write regime the protocol measured (tmpfs = per-node-
+        # disk proxy; see SCALING_LAKE_ROOT note + BASELINE.md round 4)
+        "lake_backend": results[hi].get("lake_backend", "disk"),
     }
 
 
