@@ -280,8 +280,11 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
                 tmp = f"{path}.tmp.{os.getpid()}"
                 # small row groups let the replay's override_num_blocks
                 # split files mid-file → even block sizes, no straggler
-                # tail in the read→prep→write wave
+                # tail in the read→prep→write wave. zstd level 3:
+                # ~20% smaller than the default level AND 2× faster to
+                # decode on this content (state/merge.py note)
                 pq.write_table(part, tmp, compression="zstd",
+                               compression_level=3,
                                row_group_size=16_384)
                 os.replace(tmp, path)
             out_e.append(k)

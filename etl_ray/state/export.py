@@ -122,7 +122,8 @@ def _export_bucket(files: list[str], out_path: str, schema_b64: str,
         live = latest.filter(pc.not_equal(latest["op"], "D"))
         table = live.drop_columns(["lsn", "op"])
     tmp = f"{out_path}.tmp.{os.getpid()}"
-    pq.write_table(table, tmp, compression="zstd")
+    # level 3: smaller + faster-decoding than the default (merge.py note)
+    pq.write_table(table, tmp, compression="zstd", compression_level=3)
     os.replace(tmp, out_path)
     return {"key": key, "n_rows": len(table), "skipped": False}
 
