@@ -49,6 +49,35 @@ from etl_ray.state.merge import (BUCKET_SPAN, MergeApplier,
 # the object store through the groupby)
 DEFAULT_WINDOW = 8
 
+# Fraction of a node's CPU slots RESERVED (never running ingest tasks)
+# on the fused read→prep→write hot path: ⌈cpus/8⌉ slots stay free at
+# every level (32→28, 16→14, 8→7, 4→3 concurrent tasks) for the raylet,
+# the kernel page-fault path, and — on shared hypervisors — for the
+# host to keep guest spinlock holders running. Measured on the bench VM
+# in a contended window: 32 concurrent zstd-decode processes spent
+# 39-84 s of SYSTEM time (page-fault lock contention; walls 4× the
+# 24-process run) while ≤27-wide ran at per-process speed, and the full
+# replay @32 measured 68 s full-width vs 27 s with one slot in eight
+# reserved, same window. Standard capacity practice (Spark/YARN reserve
+# per-node cores the same way), applied to the one fault-heavy path.
+# ETL_RAY_CDC_TASK_CPUS overrides the derived per-task request
+# (1.0 = full width).
+_TASK_CPUS_ENV = os.environ.get("ETL_RAY_CDC_TASK_CPUS")
+
+
+def _task_cpus() -> float:
+    """Per-task CPU request implementing the slot reservation above."""
+    if _TASK_CPUS_ENV is not None:
+        return float(_TASK_CPUS_ENV)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — uninitialised session
+        cpus = 8
+    reserve = max(1, cpus // 8)
+    # tiny epsilon below the exact ratio so floor(cpus/task_cpus) is
+    # never one short of the target width through float rounding
+    return max(1.0, cpus / (cpus - reserve) - 0.002)
+
 
 def epoch_schema(wal_dir: str, epoch: int):
     """Incoming payload schema for an epoch, read from Parquet footers."""
@@ -94,13 +123,19 @@ def apply_window(wal_dir: str, lake_dir: str, epochs: list[int],
         # pre-merge shuffle and no per-epoch execution fixed cost. The
         # per-epoch commit loop below is unchanged: entry rows carry
         # their epoch.
-        ds = wal_mod.read_epochs(wal_dir, epochs, blocks_per_cpu=2.0)
+        # identical num_cpus on read + both maps keeps the three stages
+        # FUSED into one operator (differing resource requests block
+        # fusion and would push ~30 GB of decoded batches through the
+        # object store between stages)
+        task_cpus = _task_cpus()
+        ds = wal_mod.read_epochs(wal_dir, epochs, blocks_per_cpu=2.0,
+                                 ray_remote_args={"num_cpus": task_cpus})
         ds = ds.map_batches(prepare_events(num_partitions),
-                            batch_format="pyarrow")
+                            batch_format="pyarrow", num_cpus=task_cpus)
         ds = ds.map_batches(
             make_fragment_writer(lake_dir, schema_b64, hwm_ref,
                                  num_partitions, num_buckets),
-            batch_format="pyarrow")
+            batch_format="pyarrow", num_cpus=task_cpus)
         rows = ds.take_all()  # ≤ (epochs × buckets × tasks) tiny rows
         results = {k: [r for r in rows if r["epoch"] == k] for k in epochs}
     else:

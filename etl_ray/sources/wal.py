@@ -310,7 +310,8 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
 
 
 def read_epochs(wal_dir: str, epochs: list[int],
-                blocks_per_cpu: float = 2.0) -> "ray.data.Dataset":
+                blocks_per_cpu: float = 2.0,
+                ray_remote_args: dict | None = None) -> "ray.data.Dataset":
     """Read a WINDOW of epochs as one Dataset (single streaming
     execution — per-epoch executions each pay ~1-2 s of planning/ramp
     fixed cost that stops scaling past ~16 CPUs). The unified schema is
@@ -336,7 +337,8 @@ def read_epochs(wal_dir: str, epochs: list[int],
         cpus = 8
     n_blocks = max(8, int(cpus * blocks_per_cpu)) * len(epochs)
     return ray.data.read_parquet(paths, schema=sch,
-                                 override_num_blocks=n_blocks)
+                                 override_num_blocks=n_blocks,
+                                 ray_remote_args=ray_remote_args or {})
 
 
 def read_epoch(wal_dir: str, epoch: int,
