@@ -375,14 +375,29 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _subprocess_probe() -> dict:
+    """Full host probe (incl. the fork-based parallel-fault axis) from
+    a fresh child process — usable while a Ray session is live here."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import json, bench; print(json.dumps(bench._host_probe()))"],
+            capture_output=True, text=True, check=True, timeout=120,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.splitlines()[-1])
+    except Exception:  # noqa: BLE001 — probe is best-effort evidence
+        return _host_probe()
+
+
 def run_queries() -> dict:
+    # self-certify BEFORE any timing; probe before ray.init so the
+    # fork-based parallel-fault axis is measurable
+    probe0 = _probe_until_healthy()
     _init_ray(NUM_CPUS)
     import ray
 
     from etl_ray.pipelines.queries import QUERIES
     from etl_ray.pipelines.scalarq import token_histogram
-
-    probe0 = _probe_until_healthy()  # self-certify BEFORE any timing
 
     # untimed warmup: spin up the session's worker pool once so the
     # first timed query measures the pipeline, not process spawn
@@ -436,7 +451,7 @@ def run_queries() -> dict:
             walls.append(round(time.perf_counter() - t0, 3))
         trials[name] = walls
         timings[name] = min(walls)
-    probe1 = _host_probe()  # post-run health (drift bracketing)
+    probe1 = _subprocess_probe()  # post-run health (drift bracketing)
     total = round(sum(timings.values()), 3)
     return {
         "metric": "bench_total_sec",

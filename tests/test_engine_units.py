@@ -258,3 +258,27 @@ def test_rolling_poly_matches_naive_reference():
     v, c = rolling_poly(np.empty(0, np.uint64), np.empty(0, np.int64),
                         3, base)
     assert len(v) == 0 and len(c) == 0
+
+
+def test_task_cpus_reservation_widths(monkeypatch):
+    """cdc._task_cpus reserves ceil(cpus/8) slots at every level: the
+    effective task width floor(cpus / task_cpus) must be exactly
+    cpus - max(1, cpus//8) (32→28, 16→14, 8→7, 4→3), with no float
+    rounding losing an extra slot."""
+    import math
+
+    import ray as ray_mod
+
+    from etl_ray.pipelines import cdc
+
+    monkeypatch.setattr(cdc, "_TASK_CPUS_ENV", None)
+    for cpus, want_width in ((4, 3), (8, 7), (16, 14), (32, 28),
+                             (64, 56), (256, 224)):
+        monkeypatch.setattr(ray_mod, "cluster_resources",
+                            lambda c=cpus: {"CPU": float(c)})
+        tc = cdc._task_cpus()
+        assert tc >= 1.0
+        assert math.floor(cpus / tc) == want_width, (cpus, tc)
+    # env override wins and allows full width
+    monkeypatch.setattr(cdc, "_TASK_CPUS_ENV", "1.0")
+    assert cdc._task_cpus() == 1.0
