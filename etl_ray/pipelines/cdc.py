@@ -74,6 +74,8 @@ def _task_cpus() -> float:
     except Exception:  # noqa: BLE001 — uninitialised session
         cpus = 8
     reserve = max(1, cpus // 8)
+    if cpus - reserve < 1:  # 1-CPU session: nothing to reserve
+        return 1.0
     # tiny epsilon below the exact ratio so floor(cpus/task_cpus) is
     # never one short of the target width through float rounding
     return max(1.0, cpus / (cpus - reserve) - 0.002)

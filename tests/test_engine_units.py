@@ -272,8 +272,8 @@ def test_task_cpus_reservation_widths(monkeypatch):
     from etl_ray.pipelines import cdc
 
     monkeypatch.setattr(cdc, "_TASK_CPUS_ENV", None)
-    for cpus, want_width in ((4, 3), (8, 7), (16, 14), (32, 28),
-                             (64, 56), (256, 224)):
+    for cpus, want_width in ((1, 1), (2, 1), (3, 2), (4, 3), (8, 7),
+                             (16, 14), (32, 28), (64, 56), (256, 224)):
         monkeypatch.setattr(ray_mod, "cluster_resources",
                             lambda c=cpus: {"CPU": float(c)})
         tc = cdc._task_cpus()
