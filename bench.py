@@ -585,7 +585,7 @@ def run_scaling() -> dict:
     # best-of across rounds (healthy-probe preferred) remains the
     # steady-state throughput estimator for the headline. Every trial
     # wall + probe is recorded — self-certifying either way.
-    rounds = 3
+    rounds = int(os.environ.get("RAY_GRAFT_SCALING_ROUNDS", "3"))
     all_runs: dict[int, list] = {n: [] for n in levels}
     round_runs: list[dict] = []
     for _ in range(rounds):
