@@ -494,14 +494,38 @@ def _ensure_wal(wal_dir: str) -> str:
     return wal_dir
 
 
+def _fs_backend(path: str) -> str:
+    """"tmpfs" iff the filesystem holding ``path`` is RAM-backed,
+    detected by statfs magic (TMPFS 0x01021994 / RAMFS 0x858458f6) via
+    the longest-prefix mount in /proc/mounts — not by a /dev/shm path
+    check, so any tmpfs target is labeled honestly (ADVICE r4)."""
+    probe = path
+    while probe and not os.path.exists(probe):
+        probe = os.path.dirname(probe) or "/"
+    try:
+        best, fstype = "", "disk"
+        with open("/proc/mounts") as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                mnt, typ = parts[1], parts[2]
+                real = os.path.realpath(probe)
+                if (real == mnt or real.startswith(mnt.rstrip("/") + "/")
+                        or mnt == "/") and len(mnt) >= len(best):
+                    best, fstype = mnt, typ
+        return "tmpfs" if fstype in ("tmpfs", "ramfs") else "disk"
+    except OSError:
+        return "tmpfs" if path.startswith("/dev/shm") else "disk"
+
+
 def run_cdc_child(num_cpus: int) -> None:
     """Child-process entry: replay the shared WAL at one parallelism.
     Emits its own host-health probe so every protocol trial carries
     the evidence to accept or discount its wall clock."""
     import ray
 
-    backend = ("tmpfs" if SCALING_LAKE_ROOT.startswith("/dev/shm")
-               else "disk")
+    backend = _fs_backend(SCALING_LAKE_ROOT)
     # probe BEFORE ray.init: the parallel-fault axis forks, which is
     # only safe with no live Ray session in this process.
     # tmpfs-lake trials never touch the disk on the timed path (lake in

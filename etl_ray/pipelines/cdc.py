@@ -61,14 +61,19 @@ DEFAULT_WINDOW = 8
 # reserved, same window. Standard capacity practice (Spark/YARN reserve
 # per-node cores the same way), applied to the one fault-heavy path.
 # ETL_RAY_CDC_TASK_CPUS overrides the derived per-task request
-# (1.0 = full width).
-_TASK_CPUS_ENV = os.environ.get("ETL_RAY_CDC_TASK_CPUS")
+# (1.0 = full width); read at call time so programmatic os.environ
+# changes after import take effect, malformed values fall back to the
+# derived reservation (ADVICE r4).
 
 
 def _task_cpus() -> float:
     """Per-task CPU request implementing the slot reservation above."""
-    if _TASK_CPUS_ENV is not None:
-        return float(_TASK_CPUS_ENV)
+    env = os.environ.get("ETL_RAY_CDC_TASK_CPUS")
+    if env is not None:
+        try:
+            return float(env)
+        except ValueError:
+            pass  # malformed override: use the derived reservation
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001 — uninitialised session

@@ -13,6 +13,7 @@ exact.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -416,10 +417,20 @@ def grouped_topk(sf_dir: str, n: int = 3):
     ds = read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
 
     def _partial(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return pa.Table.from_pandas(df.groupby("o_custkey").head(n),
-                                    preserve_index=False)
+        # Arrow-native grouped head: one block sort putting each
+        # group's rows contiguous in oracle tie order, then a numpy
+        # run-length rank < n mask — no pandas, no per-group loop.
+        if len(t) == 0:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[
+            ("o_custkey", "ascending"), ("o_totalprice", "descending"),
+            ("o_orderkey", "ascending")])
+        t = t.take(idx).combine_chunks()
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        rank = np.arange(len(cust)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(cust)]))
+        return t.filter(pa.array(rank < n))
 
     def _final(g) -> "pa.Table":
         g = g.sort_values(["o_totalprice", "o_orderkey"],

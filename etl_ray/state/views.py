@@ -110,6 +110,12 @@ def _write_state(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
     fname = f"view-e{int(meta['as_of_epoch'])}.parquet"
     tmp = os.path.join(view_dir, f".{fname}.tmp.{os.getpid()}")
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    # power-loss ordering: the view bytes must be durable BEFORE the
+    # meta flip can name them, and the directory entries durable after
+    # both renames — otherwise a durable meta.json can point at a
+    # missing/truncated view file (ADVICE r4)
+    with open(tmp, "rb") as f:
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(view_dir, fname))
     meta = dict(meta, view_file=fname)
     tmp = os.path.join(view_dir, f".meta.tmp.{os.getpid()}")
@@ -118,6 +124,14 @@ def _write_state(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(view_dir, "meta.json"))  # commit point
+    try:
+        dfd = os.open(view_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
     for name in os.listdir(view_dir):  # best-effort GC of old states
         if (name.startswith("view") and name.endswith(".parquet")
                 and name != fname):
@@ -128,9 +142,20 @@ def _write_state(view_dir: str, df: pd.DataFrame, meta: dict) -> None:
 
 
 def read_view(view_dir: str) -> pa.Table:
-    """The materialized rows (one per group), sorted by group."""
-    fname = view_meta(view_dir).get("view_file", "view.parquet")
-    return pq.read_table(os.path.join(view_dir, fname))
+    """The materialized rows (one per group), sorted by group.
+
+    A concurrent refresh's post-flip GC can unlink the file this
+    reader resolved from a pre-flip meta.json; on FileNotFoundError
+    re-read meta once — the newly committed file is guaranteed
+    present (ADVICE r4)."""
+    for attempt in (0, 1):
+        fname = view_meta(view_dir).get("view_file", "view.parquet")
+        try:
+            return pq.read_table(os.path.join(view_dir, fname))
+        except FileNotFoundError:
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
 
 
 def view_meta(view_dir: str) -> dict:

@@ -271,7 +271,7 @@ def test_task_cpus_reservation_widths(monkeypatch):
 
     from etl_ray.pipelines import cdc
 
-    monkeypatch.setattr(cdc, "_TASK_CPUS_ENV", None)
+    monkeypatch.delenv("ETL_RAY_CDC_TASK_CPUS", raising=False)
     for cpus, want_width in ((1, 1), (2, 1), (3, 2), (4, 3), (8, 7),
                              (16, 14), (32, 28), (64, 56), (256, 224)):
         monkeypatch.setattr(ray_mod, "cluster_resources",
@@ -279,6 +279,11 @@ def test_task_cpus_reservation_widths(monkeypatch):
         tc = cdc._task_cpus()
         assert tc >= 1.0
         assert math.floor(cpus / tc) == want_width, (cpus, tc)
-    # env override wins and allows full width
-    monkeypatch.setattr(cdc, "_TASK_CPUS_ENV", "1.0")
+    # env override wins (read at call time) and allows full width
+    monkeypatch.setenv("ETL_RAY_CDC_TASK_CPUS", "1.0")
     assert cdc._task_cpus() == 1.0
+    # malformed override falls back to the derived reservation
+    monkeypatch.setenv("ETL_RAY_CDC_TASK_CPUS", "fast")
+    monkeypatch.setattr(ray_mod, "cluster_resources",
+                        lambda: {"CPU": 32.0})
+    assert math.floor(32 / cdc._task_cpus()) == 28
