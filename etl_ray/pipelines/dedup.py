@@ -2,7 +2,8 @@
 
 - exact:      content-hash groupby, keep first (oracle-checked)
 - minhash:    3-token shingles → k minhashes → LSH bands → bucket groupby
-              → candidate pairs → exact-Jaccard verify (rows-only)
+              → candidate pairs → exact-Jaccard verify (oracle-checked
+              against a from-scratch SQL shingle-Jaccard recompute)
 - simhash:    64-bit simhash per doc (rows-only, deterministic)
 - jaccard:    character-set Jaccard similarity on doc pairs
               (oracle-checked against DuckDB's jaccard())
@@ -150,7 +151,35 @@ def _bucket_pairs(g: pa.Table) -> pa.Table:
     return pa.table({"doc_a": pa.array(ids[ia]), "doc_b": pa.array(ids[ib])})
 
 
-@register("dedup_minhash")
+# Exact 3-token-shingle Jaccard pair set, recomputed from scratch in
+# SQL: tokenize (string_split keeps empties == pc.split_pattern),
+# shingle via positional self-joins, distinct per doc, intersect via a
+# shingle equi-join. Shared by the dedup_minhash and dedup_clusters
+# oracles.
+_SHINGLE_PAIRS_SQL = """
+t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS w,
+               unnest(range(1, len(ts)+1)) AS pos FROM t),
+sh AS (SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       FROM tok a JOIN tok b ON a.doc_id=b.doc_id AND b.pos=a.pos+1
+                  JOIN tok c ON a.doc_id=c.doc_id AND c.pos=a.pos+2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+scored AS (SELECT doc_a, doc_b,
+                  CAST(ROUND(i * 10000.0 / (ca.n + cb.n - i)) AS BIGINT)
+                      AS jacc_e4
+           FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+                      JOIN cnt cb ON cb.doc_id = doc_b)
+"""
+
+
+@register(
+    "dedup_minhash",
+    "WITH " + _SHINGLE_PAIRS_SQL
+    + "SELECT doc_a, doc_b, jacc_e4 FROM scored WHERE jacc_e4 >= 5000",
+)
 def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     """MinHash+LSH near-dup detection, verified with exact Jaccard.
 
@@ -158,6 +187,15 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
     pairs → DISTRIBUTED pair dedup (groupby on the pair key — the same
     pair collides in several bands) → join texts back → exact 3-shingle
     Jaccard filter. Returns (doc_a, doc_b, jacc_e4).
+
+    VALUE-LEVEL ORACLE (promoted round 5): the SQL recomputes the exact
+    3-shingle Jaccard pair set from scratch — tokenize, positional
+    shingle join, distinct, shingle-intersect — so the driver hash-checks
+    both the pair SET and every jacc_e4 value. Candidate recall stays
+    LSH-probabilistic in general, but at the gate scales every true
+    pair has J ≥ 0.889 (measured), where the 16×4 band miss probability
+    is (1-J⁴)¹⁶ ≈ 1.5e-7; exact equality with the brute-force set is
+    pinned at sf0.001 AND sf0.01 by tests, so the oracle is stable.
 
     Driver footprint: only the deduped candidate-pair COUNT decides the
     verify strategy; below the broadcast cap the (small) pair list is
@@ -229,7 +267,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.5):
             jac[i] = inter / (len(sa) + len(sb) - inter)
         out = pa.table({
             "doc_a": t["doc_a"], "doc_b": t["doc_b"],
-            "jacc_e4": pa.array(np.round(jac * 10000).astype(np.int64)),
+            # half-away-from-zero to match SQL ROUND (np.round is
+            # banker's and can diverge on exact .5 ratios)
+            "jacc_e4": pa.array(np.floor(jac * 10000 + 0.5).astype(np.int64)),
         })
         return out.filter(pc.greater_equal(out["jacc_e4"],
                                            int(threshold * 10000)))
@@ -334,7 +374,20 @@ def _cc_label_propagation(edges, max_rounds: int | None = None) -> pa.Table:
     })
 
 
-@register("dedup_clusters")
+@register(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _SHINGLE_PAIRS_SQL + """,
+pairs AS (SELECT doc_a, doc_b FROM scored WHERE jacc_e4 >= 5000),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lbl) AS canon_id, node = MIN(lbl) AS keep
+FROM reach GROUP BY node""",
+)
 def dedup_clusters(sf_dir: str, threshold: float = 0.5,
                    distributed: bool | None = None):
     """Near-dup CLUSTERS: verified MinHash pairs → connected components
@@ -343,9 +396,13 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5,
     This is the actionable form of near-dedup for a training-data
     pipeline: every doc in a non-trivial cluster gets a row
     ``(doc_id, canon_id, keep)`` — drop rows with ``keep == false`` to
-    dedup the corpus. Rows-only oracle (the transitive closure is not
-    SQL-expressible over the LSH pair set); cluster equality vs a
-    brute-force closure is pinned in tests.
+    dedup the corpus. VALUE-LEVEL ORACLE (promoted round 5): connected
+    components are SQL-expressible over the exact pair set via a
+    recursive min-label transitive closure (``reach`` = every (node,
+    same-component id) pair, UNION-distinct so it terminates; canon =
+    MIN over reachable ids). Bounded: the edge list is the verified
+    near-dup pair set, ~linear in true-dup count. Cluster equality vs
+    a brute-force closure stays pinned in tests.
 
     Two equivalent component engines (equality tested): driver-side
     union-find for ≤ CLUSTER_DRIVER_MAX_PAIRS verified pairs (the pair
