@@ -56,6 +56,13 @@ CDC_UPDATE_P = 0.85  # update-heavy churn: ~7.8 events/key (CDC regime)
 WAL_DIR = f"/tmp/etl_ray_bench/wal4_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
 SCALING_PAIRS = ((8, 32), (4, 16))  # N→4N pairs (see module docstring)
 
+# Headline-replay retry policy (round-4 verdict #2): keep the best wall
+# across up to REPLAY_MAX_TRIALS full replays / REPLAY_BUDGET_S seconds,
+# preferring trials whose pre-trial probe was healthy. In a healthy
+# window this is exactly the old best-of-2 (two trials, stop).
+REPLAY_MAX_TRIALS = int(os.environ.get("RAY_GRAFT_REPLAY_TRIALS", "6"))
+REPLAY_BUDGET_S = float(os.environ.get("RAY_GRAFT_REPLAY_BUDGET_S", "900"))
+
 # Lake target for the SCALING protocol children: tmpfs by default.
 # Round-4 finding (full evidence in BASELINE.md): this VM's virtio
 # disk is token-bucket throttled — ~40 MB/s sustained for whole hours
@@ -375,6 +382,35 @@ def _consume(res) -> int:
     return len(res)
 
 
+def _ray_fault_counters() -> dict[int, int]:
+    """minflt+majflt per live Ray-related process (incl. this driver).
+    Deltas around a replay give faults/event — the engine-side fault-
+    volume evidence axis (fault counts are window-independent, unlike
+    walls, so round-over-round engine comparisons stay honest even when
+    the host's parallel-fault axis is sick)."""
+    me = os.getpid()
+    out: dict[int, int] = {}
+    for name in os.listdir("/proc"):
+        if not name.isdigit():
+            continue
+        pid = int(name)
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if pid != me and b"ray" not in cmd:
+                continue
+            with open(f"/proc/{pid}/stat") as f:
+                post = f.read().rsplit(")", 1)[1].split()
+        except (OSError, IndexError):
+            continue
+        out[pid] = int(post[7]) + int(post[9])
+    return out
+
+
+def _fault_delta(before: dict[int, int], after: dict[int, int]) -> int:
+    return sum(v - before.get(pid, 0) for pid, v in after.items())
+
+
 def _subprocess_probe() -> dict:
     """Full host probe (incl. the fork-based parallel-fault axis) from
     a fresh child process — usable while a Ray session is live here."""
@@ -387,6 +423,27 @@ def _subprocess_probe() -> dict:
         return json.loads(out.stdout.splitlines()[-1])
     except Exception:  # noqa: BLE001 — probe is best-effort evidence
         return _host_probe()
+
+
+def _subprocess_probe_until_healthy(max_wait_s: float) -> dict:
+    """_probe_until_healthy, but via subprocess probes so it works under
+    a live Ray session (the parallel-fault axis forks). Same contract:
+    returns the LAST probe with every sick attempt annotated — a sick
+    window is recorded, never hidden."""
+    t0 = time.perf_counter()
+    attempts = []
+    while True:
+        p = _subprocess_probe()
+        if p.get("healthy", True) or time.perf_counter() - t0 > max_wait_s:
+            if attempts:
+                p["prior_attempts"] = attempts
+            return p
+        attempts.append({k: p.get(k) for k in
+                         ("first_touch_gbps", "disk_write_mbps",
+                          "par_sha_eff", "par_fault_agg_gbps")})
+        _request_compaction()
+        os.sync()
+        time.sleep(4)
 
 
 def run_queries() -> dict:
@@ -426,19 +483,52 @@ def run_queries() -> dict:
                 while f.read(1 << 24):
                     pass
 
-    # best of 2 full replays (fresh lake each): the host drifts 2-3×
-    # on ~10-minute scales (BASELINE.md round-3 notes), and the
-    # steady-state headline shouldn't be hostage to one bad window
+    # Probe-gated keep-best-across-attempts for the headline replay row
+    # (round-4 verdict #2): a sick parallel-fault window craters exactly
+    # this fault-heavy row while query rows survive, so the recorded
+    # number must be the engine's, not the window's. Up to
+    # REPLAY_MAX_TRIALS full replays within REPLAY_BUDGET_S; every trial
+    # carries its own pre-trial probe; stop once two healthy-window
+    # trials are in (healthy-window cost == the old best-of-2). The
+    # recorded wall is the best among healthy-probe trials; only if
+    # EVERY window was sick does the global best stand — and then
+    # cdc_replay_probe_healthy=false says so in the artifact.
     s = None
-    replay_walls: list[float] = []
-    for _ in range(2):
+    best_healthy = None
+    cdc_trials: list[dict] = []
+    t_replay0 = time.perf_counter()
+    trial_probe = probe0  # trial 1 reuses the pre-session probe
+    while True:
         shutil.rmtree(lake, ignore_errors=True)
         os.sync()
+        f_before = _ray_fault_counters()
         r = replay(wal, lake, CDC_EPOCHS, num_partitions=CDC_PARTITIONS)
-        replay_walls.append(round(r["wall_s"], 3))
+        faults = _fault_delta(f_before, _ray_fault_counters())
+        healthy = bool(trial_probe.get("healthy", True))
+        cdc_trials.append({
+            "wall_s": round(r["wall_s"], 3),
+            "events_per_s": round(r["events_per_s"], 1),
+            "faults_per_event": round(faults / max(1, r["n_events"]), 3),
+            "probe_healthy": healthy,
+            "probe": {k: trial_probe.get(k) for k in
+                      ("first_touch_gbps", "disk_write_mbps",
+                       "par_sha_eff", "par_fault_agg_gbps")},
+        })
         if s is None or r["wall_s"] < s["wall_s"]:
             s = r
+        if healthy and (best_healthy is None
+                        or r["wall_s"] < best_healthy["wall_s"]):
+            best_healthy = r
+        n_healthy = sum(1 for t in cdc_trials if t["probe_healthy"])
+        elapsed = time.perf_counter() - t_replay0
+        if (n_healthy >= 2 or len(cdc_trials) >= REPLAY_MAX_TRIALS
+                or elapsed > REPLAY_BUDGET_S):
+            break
+        trial_probe = _subprocess_probe_until_healthy(
+            min(60.0, max(0.0, REPLAY_BUDGET_S - elapsed)))
+    s = best_healthy or s
     timings["cdc_replay"] = round(s["wall_s"], 3)
+    replay_walls = [t["wall_s"] for t in cdc_trials]
 
     # best of 2 on EVERY row (same drift rationale as the headline);
     # both trials recorded so a reader can see the drift magnitude
@@ -463,6 +553,8 @@ def run_queries() -> dict:
         "cdc_events_per_s": round(s["events_per_s"], 1),
         "cdc_n_events": s["n_events"],
         "cdc_trial_walls": replay_walls,
+        "cdc_trials": cdc_trials,
+        "cdc_replay_probe_healthy": bool(best_healthy is not None),
         "query_trial_walls": trials,
         "host_probe_pre": probe0,
         "host_probe_post": probe1,
@@ -546,14 +638,10 @@ def run_cdc_child(num_cpus: int) -> None:
     # warm executors streaming from storage whose bandwidth scales with
     # the node count.
     def _warm(b):
-        import etl_ray.state.merge  # noqa: F401 — pre-import in workers
+        # pre-import in workers; etl_ray.util's import also applies the
+        # default Arrow-jemalloc decay retention there
+        import etl_ray.state.merge  # noqa: F401
         import etl_ray.state.schema  # noqa: F401
-        if os.environ.get("RAY_GRAFT_MALLOC_RETAIN") == "1":
-            import pyarrow as _pa  # retain Arrow-pool pages 10 s between
-            try:                   # allocations (see _init_ray note)
-                _pa.jemalloc_set_decay_ms(10_000)
-            except (AttributeError, _pa.ArrowException):
-                pass
         return b
 
     ray.data.range(num_cpus * 4, override_num_blocks=num_cpus * 4) \
@@ -564,12 +652,16 @@ def run_cdc_child(num_cpus: int) -> None:
                 while f.read(1 << 24):
                     pass
 
+    f_before = _ray_fault_counters()
     s = replay(wal, lake, CDC_EPOCHS, num_partitions=CDC_PARTITIONS,
                concurrency=None)
+    faults = _fault_delta(f_before, _ray_fault_counters())
     shutil.rmtree(lake, ignore_errors=True)  # free tmpfs pages promptly
     print(json.dumps({"num_cpus": num_cpus, "n_events": s["n_events"],
                       "wall_s": round(s["wall_s"], 3),
                       "events_per_s": round(s["events_per_s"], 1),
+                      "faults_per_event": round(
+                          faults / max(1, s["n_events"]), 3),
                       "lake_backend": backend,
                       "host_probe": probe}))
 

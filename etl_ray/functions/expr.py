@@ -15,6 +15,8 @@ import re
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from etl_ray.util import as_array
+
 # ---------------------------------------------------------------- strings
 
 
@@ -155,7 +157,7 @@ def list_get(a, i: int):
     computes flat offsets and takes with null indices instead."""
     import numpy as np
 
-    arr = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    arr = as_array(a)
     lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
     starts = np.asarray(arr.offsets)[:-1]
     ok = np.nan_to_num(lengths, nan=-1) > i
@@ -179,7 +181,7 @@ def json_extract_int64(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     — on the synthetic props format that set is empty. Matches DuckDB
     ``CAST(json_extract_string(col, '$.key') AS BIGINT)``.
     """
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = as_array(col)
     pat = r'"%s"\s*:\s*(?P<v>-?\d+(?:\.\d+)?)' % re.escape(key)
     ext = pc.extract_regex(arr, pattern=pat)
     vs = pc.struct_field(ext, "v")

@@ -28,7 +28,7 @@ from ray.data.aggregate import Min
 
 from etl_ray.pipelines._qutil import join_partitions, read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import (embedding_matrix, hash64_str, rolling_poly,
+from etl_ray.util import (as_array, embedding_matrix, hash64_str, rolling_poly,
                           segment_unique, sha256_hex_array)
 
 # ------------------------------------------------------------- exact dedup
@@ -71,7 +71,7 @@ def _shingle_hashes(t: pa.Table, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     one lexsort dedupe (util.segment_unique) — no per-doc Python loop.
     """
     toks = pc.split_pattern(t["text"], " ")
-    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    toks = as_array(toks)
     lengths = pc.list_value_length(toks).to_numpy()
     flat = hash64_str(pc.list_flatten(toks))
     vals, counts = rolling_poly(flat, lengths, k, np.uint64(1099511628211))
@@ -455,7 +455,7 @@ def simhash_batch(t: pa.Table, text_col: str = "text") -> np.ndarray:
     matrix fold per batch. Returns a uint64 array.
     """
     toks = pc.split_pattern(t[text_col], " ")
-    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    toks = as_array(toks)
     lengths = pc.list_value_length(toks).to_numpy()
     flat = hash64_str(pc.list_flatten(toks))
     seg = np.arange(len(t)).repeat(lengths)

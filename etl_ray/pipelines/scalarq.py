@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 from etl_ray.functions import expr
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import sha256_hex_array
+from etl_ray.util import as_array, sha256_hex_array
 
 # ---------------------------------------------------------------- strings
 
@@ -242,7 +242,7 @@ def explode_tokens(sf_dir: str):
     def _f(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["doc_id"], 50))
         toks = pc.split_pattern(t["text"], " ")
-        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        toks = as_array(toks)
         lengths = pc.list_value_length(toks)
         ids = pa.array(
             t["doc_id"].to_numpy().repeat(lengths.to_numpy()), pa.int64())

@@ -16,12 +16,12 @@ import pyarrow.compute as pc
 
 from etl_ray.pipelines._qutil import read
 from etl_ray.pipelines.queries import register
-from etl_ray.util import hash64_str, rolling_poly
+from etl_ray.util import as_array, hash64_str, rolling_poly
 
 
 def _token_lists(t: pa.Table, col: str = "text"):
     toks = pc.split_pattern(t[col], " ")
-    return toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    return as_array(toks)
 
 
 def token_count(sf_dir: str):

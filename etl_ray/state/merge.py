@@ -31,7 +31,7 @@ import ray
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
 from etl_ray.util import (add_pid_column, key_hash64, lww_keep_indices,
-                          sha256_hex_with_prefix)
+                          sha256_hex_with_prefix, take_runs)
 
 KEY_COLS = ["repo", "path"]
 META_COLS = ["lsn", "epoch", "op"]
@@ -85,8 +85,8 @@ def prepare_events(num_partitions: int):
             pc.and_(pc.is_valid(t["repo"]), pc.is_valid(t["path"])),
         )
         ok = pc.and_(ok, pc.or_(is_del, pc.is_valid(t["content"])))
-        reason = pc.if_else(ok, pa.nulls(len(t), pa.string()),
-                            pa.array(["audit_failed"] * len(t)))
+        reason = pc.if_else(ok, pa.scalar(None, pa.string()),
+                            pa.scalar("audit_failed"))
         t = t.append_column("audit_ok", ok)
         t = t.append_column("audit_reason", reason)
         # content_sha256 is computed POST-reduce in the merge stage: only
@@ -302,7 +302,6 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
         n_bad: dict[tuple[int, int], int] = {}
         bad_idx = np.flatnonzero(live & ~audit_ok)
         if len(bad_idx):
-            bad = batch.take(pa.array(bad_idx))
             for eb, c in zip(*np.unique(eb_key[bad_idx], return_counts=True)):
                 n_bad[(int(eb) // num_buckets, int(eb) % num_buckets)] = int(c)
             for k in np.unique(epochs[bad_idx]):
@@ -313,7 +312,7 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
                 qdir = os.path.join(lake_dir, "_quarantine")
                 qpath = os.path.join(qdir, f"epoch={int(k)}-{digest}.parquet")
                 os.makedirs(qdir, exist_ok=True)
-                _atomic_write(batch.take(pa.array(sub_i)), qpath)
+                _atomic_write(take_runs(batch, sub_i), qpath)
 
         gi = np.flatnonzero(good)
         rows: list[dict] = []
@@ -326,12 +325,15 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
             kh = batch["_kh"].to_numpy()
             keep_g, _ = lww_keep_indices(
                 kh[gi], lsn[gi],
-                batch.select(KEY_COLS).take(pa.array(gi)),
+                take_runs(batch.select(KEY_COLS), gi),
                 extra=epochs[gi])
             keep = gi[keep_g]
-            # one take: dedup + (epoch, bucket, lsn) file order together
+            # one gather: dedup + (epoch, bucket, lsn) file order
+            # together. take_runs, not Table.take: the read stage hands
+            # multi-chunk blocks and take's internal combine_chunks was
+            # the engine's largest fresh-page fault source.
             fin = keep[np.lexsort((lsn[keep], bucket[keep], epochs[keep]))]
-            reduced = batch.take(pa.array(fin))
+            reduced = take_runs(batch, fin)
             sha, shp = sha256_hex_with_prefix(reduced["content"])
             payload = schema_mod.conform(
                 reduced.drop_columns([c for c in reduced.column_names
@@ -342,7 +344,10 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
 
             eb_f = eb_key[fin]
             bounds = (np.flatnonzero(np.diff(eb_f)) + 1).tolist()
-            ops = reduced["op"].to_numpy(zero_copy_only=False)
+            # delete mask via an Arrow kernel — to_numpy on a string
+            # column would materialize one Python str per row
+            dmask = pc.equal(reduced["op"], "D") \
+                .to_numpy(zero_copy_only=False).astype(bool)
             lsn_f = lsn[fin]
             # per-(epoch, bucket) slices → RANGE-FRAGMENT files: pack
             # consecutive bucket slices of one epoch into a file until
@@ -380,7 +385,7 @@ def make_fragment_writer(lake_dir: str, schema_b64: str, hwm_ref,
                 for s, e, k_s, b in slices[gi_start:gi_end + 1]:
                     checksum = int(np.bitwise_xor.reduce(
                         shp[s:e].astype(np.uint64)))
-                    n_del = int((ops[s:e] == "D").sum())
+                    n_del = int(dmask[s:e].sum())
                     rows.append({
                         "epoch": k_s, "pid": b, "files": [rel],
                         "lsn_min": int(lsn_f[s]),

@@ -9,6 +9,7 @@ mandated by BASELINE.json:2 ("100% sha256 row-equality").
 
 from __future__ import annotations
 
+import binascii
 import hashlib
 import os
 
@@ -17,15 +18,19 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Optional Arrow-jemalloc page-retention tuning (opt-in via env so it
-# reaches every Ray worker — they inherit the driver env and import
-# this module). Motivation: this sandbox's kernel fresh-page fault
-# path collapses under many concurrent faulting processes
-# (BASELINE.md r3: 1/4/16 procs fault at 1.5/5.6/0.4 GB/s); raising
-# jemalloc's dirty-page decay keeps freed batch buffers mapped so the
-# next batch reuses warm pages instead of re-faulting fresh ones.
-_decay_ms = os.environ.get("ETL_RAY_JEMALLOC_DECAY_MS")
-if _decay_ms:
+# Arrow-jemalloc page-retention tuning (ETL_RAY_JEMALLOC_DECAY_MS
+# overrides; "0" disables). Default ON at 10 s since round 5: freed
+# batch buffers stay mapped so the next batch reuses warm pages instead
+# of re-faulting fresh ones. Measured on the bench replay (tools/
+# fault_audit.py): 0.800 → 0.575 faults/event on top of the structural
+# gather/sha fixes — and concurrent fresh-page faults are the resource
+# this host's guest kernel collapses under (BASELINE.md round-4
+# parallel-fault axis), i.e. the multi-tenant-cluster analogue of
+# kernel-side memory contention. Reaches every Ray worker because they
+# inherit the driver env and import this module; retention is bounded
+# by each worker's PEAK heap (decay frees later, it never grows peak).
+_decay_ms = os.environ.get("ETL_RAY_JEMALLOC_DECAY_MS", "10000")
+if _decay_ms and _decay_ms != "0":
     try:
         pa.jemalloc_set_decay_ms(int(_decay_ms))
     except (ValueError, NotImplementedError, OSError):
@@ -46,6 +51,22 @@ def sha256_hex_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     return sha256_hex_with_prefix(col)[0]
 
 
+def as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ChunkedArray → contiguous Array WITHOUT the silent full copy that
+    ``combine_chunks()`` performs even for a single chunk (measured:
+    ~0.5 fresh-page faults/row on 2 KB strings — it invisibly doubled
+    the ingest stage's fault volume, the resource this host's guest
+    kernel collapses under). Zero-copy for the 0/1-chunk cases every
+    map_batches hot path actually sees."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        return col.combine_chunks()
+    return col
+
+
 def sha256_hex_with_prefix(
         col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, np.ndarray]:
     """(hex digests, uint64 first-8-byte prefixes) per string element.
@@ -58,29 +79,98 @@ def sha256_hex_with_prefix(
     and returns the integer prefix alongside so manifest checksums
     never re-parse hex strings.
     """
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    n = len(arr)
-    out: list[str | None] = [None] * n
-    pre = np.zeros(n, dtype=np.uint64)
+    n = len(col)
     if n == 0:
-        return pa.array(out, type=pa.string()), pre
-    validity, offs_buf, data = arr.buffers()
-    offs = np.frombuffer(offs_buf, dtype=np.int32, count=n + 1,
-                         offset=arr.offset * 4)
-    mv = memoryview(data)
-    if validity is not None and arr.null_count:
-        bits = np.unpackbits(
-            np.frombuffer(validity, np.uint8), bitorder="little")
-        valid = bits[arr.offset:arr.offset + n].astype(bool)
-    else:
-        valid = np.ones(n, dtype=bool)
+        return pa.array([], type=pa.string()), np.zeros(0, dtype=np.uint64)
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    # Output layout is built VECTORIZED around the per-row digest loop:
+    # raw digests land in ONE preallocated bytearray (32 B/row), hex
+    # encoding is ONE binascii.hexlify over it, and the Arrow column is
+    # assembled zero-copy via StringArray.from_buffers with uniform
+    # 64-byte offsets. Input chunks are walked IN PLACE — no
+    # combine_chunks (a full data copy even for one chunk). The previous
+    # shape (combine + one Python str + hex() per row into a list, then
+    # pa.array) allocated ~10× more and measurably dominated the ingest
+    # stage's fresh-page fault volume — the per-event fault budget this
+    # host's guest kernel collapses under (BASELINE.md round-4
+    # parallel-fault axis).
+    raw = bytearray(32 * n)
     digest = hashlib.sha256
-    from_bytes = int.from_bytes
-    for i in np.flatnonzero(valid):
-        d = digest(mv[offs[i]:offs[i + 1]]).digest()
-        out[i] = d.hex()
-        pre[i] = from_bytes(d[:8], "big")
-    return pa.array(out, type=pa.string()), pre
+    valid_all: np.ndarray | None = None
+    base = 0
+    for arr in chunks:
+        m = len(arr)
+        if m == 0:
+            continue
+        validity, offs_buf, data = arr.buffers()
+        odt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offs = np.frombuffer(offs_buf, dtype=odt, count=m + 1,
+                             offset=arr.offset * odt().itemsize)
+        if validity is not None and arr.null_count:
+            bits = np.unpackbits(
+                np.frombuffer(validity, np.uint8), bitorder="little")
+            valid = bits[arr.offset:arr.offset + m].astype(bool)
+            if valid_all is None:
+                valid_all = np.ones(n, dtype=bool)
+            valid_all[base:base + m] = valid
+            idx = np.flatnonzero(valid)
+        else:
+            idx = range(m)
+        # data can be None for all-empty-string chunks; the offsets then
+        # address zero-length slices of an empty view (sha256(b"") is
+        # still a real digest)
+        mv = memoryview(data) if data is not None else memoryview(b"")
+        for i in idx:
+            o = (base + i) << 5
+            raw[o:o + 32] = digest(mv[offs[i]:offs[i + 1]]).digest()
+        base += m
+    pre = np.frombuffer(raw, dtype=">u8").reshape(n, 4)[:, 0] \
+        .astype(np.uint64)  # big-endian first-8-bytes, null slots 0
+    hexdata = binascii.hexlify(raw)  # lowercase, 64 chars per row
+    out_offs = np.arange(0, 64 * (n + 1), 64, dtype=np.int32)
+    if valid_all is not None:
+        vbuf = pa.py_buffer(np.packbits(valid_all, bitorder="little"))
+        null_count = int(n - valid_all.sum())
+    else:
+        vbuf, null_count = None, 0
+    out = pa.Array.from_buffers(
+        pa.utf8(), n,
+        [vbuf, pa.py_buffer(out_offs), pa.py_buffer(hexdata)],
+        null_count=null_count)
+    return out, pre
+
+
+def take_runs(t: pa.Table, indices: np.ndarray) -> pa.Table:
+    """Row gather WITHOUT the full-table chunk concatenation that
+    ``pa.Table.take`` performs on multi-chunk input (measured on the
+    ingest: take on an 11-chunk 2 KB/row batch faulted ~3.2× the output
+    bytes — the single largest fresh-page fault source in the engine).
+
+    Splits ``indices`` into maximal runs that stay inside one chunk,
+    takes each run from its chunk alone, and reassembles zero-copy with
+    ``Table.from_batches`` — total allocation is exactly the output
+    rows. Falls back to plain ``take`` for single-chunk tables and for
+    pathologically interleaved index orders where per-run overhead
+    would dominate (ingest gathers are lsn-run-ordered, so runs ≈
+    chunks × output groups in practice)."""
+    idx = np.asarray(indices, dtype=np.int64)
+    if len(idx) == 0:
+        return t.schema.empty_table()
+    batches = t.to_batches()
+    if len(batches) <= 1:
+        return t.take(pa.array(idx))
+    starts = np.zeros(len(batches) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in batches], out=starts[1:])
+    cid = np.searchsorted(starts, idx, side="right") - 1
+    cuts = np.flatnonzero(np.diff(cid)) + 1
+    if len(cuts) + 1 > max(256, len(idx) // 16):
+        return t.take(pa.array(idx))  # interleaved: one concat is cheaper
+    pieces = []
+    for s, e in zip(np.concatenate(([0], cuts)),
+                    np.concatenate((cuts, [len(idx)]))):
+        c = int(cid[s])
+        pieces.append(batches[c].take(pa.array(idx[s:e] - starts[c])))
+    return pa.Table.from_batches(pieces, schema=t.schema)
 
 
 def hash64_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -92,8 +182,7 @@ def hash64_str(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     any value change must bump KEY_HASH_VERSION because partition
     routing is persisted in lake manifests.
     """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+    col = as_array(col)
     return pl.from_arrow(col).hash(seed=0).to_numpy().astype(np.uint64)
 
 
@@ -189,7 +278,7 @@ def embedding_matrix(col: pa.ChunkedArray | pa.Array,
     Embedding columns are non-null and uniform-length by construction;
     raises on either violation rather than mis-reshaping.
     """
-    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = as_array(col)
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
@@ -247,8 +336,7 @@ def lww_keep_indices(kh: np.ndarray, lsn: np.ndarray,
     ord_arr = pa.array(order)
     eq_key: np.ndarray | None = None
     for c in cols:
-        cs = (c.combine_chunks() if isinstance(c, pa.ChunkedArray)
-              else c).take(ord_arr)
+        cs = as_array(c).take(ord_arr)
         e = pc.fill_null(pc.equal(cs.slice(1), cs.slice(0, len(cs) - 1)),
                          False).to_numpy(zero_copy_only=False)
         eq_key = e if eq_key is None else (eq_key & e)
