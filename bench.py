@@ -487,14 +487,21 @@ def run_queries() -> dict:
     # (round-4 verdict #2): a sick parallel-fault window craters exactly
     # this fault-heavy row while query rows survive, so the recorded
     # number must be the engine's, not the window's. Up to
-    # REPLAY_MAX_TRIALS full replays within REPLAY_BUDGET_S; every trial
-    # carries its own pre-trial probe; stop once two healthy-window
-    # trials are in (healthy-window cost == the old best-of-2). The
-    # recorded wall is the best among healthy-probe trials; only if
-    # EVERY window was sick does the global best stand — and then
-    # cdc_replay_probe_healthy=false says so in the artifact.
+    # REPLAY_MAX_TRIALS full replays within REPLAY_BUDGET_S. The
+    # recorded wall is the MINIMUM across trials — a sick window can
+    # only make the engine slower, never faster, so min-wall is a sound
+    # steady-state estimator no matter which window each trial landed
+    # in. The probe's role is the STOPPING rule, not trial selection:
+    # keep re-trying (waiting for the window to heal between trials)
+    # until two trials ran behind healthy pre-trial probes, so at least
+    # one good-window measurement exists unless the whole budget was
+    # sick — and then every attempt's probe in the record says so.
+    # (First policy draft kept best-of-healthy-probe-only and promptly
+    # recorded a 38.7 s cold-start trial over a 15.0 s one whose probe
+    # failed only the disk axis — self-inflicted writeback backlog from
+    # the previous trial's own lake writes. Min-wall is robust to that.)
     s = None
-    best_healthy = None
+    any_healthy = False
     cdc_trials: list[dict] = []
     t_replay0 = time.perf_counter()
     trial_probe = probe0  # trial 1 reuses the pre-session probe
@@ -516,9 +523,7 @@ def run_queries() -> dict:
         })
         if s is None or r["wall_s"] < s["wall_s"]:
             s = r
-        if healthy and (best_healthy is None
-                        or r["wall_s"] < best_healthy["wall_s"]):
-            best_healthy = r
+            any_healthy = healthy
         n_healthy = sum(1 for t in cdc_trials if t["probe_healthy"])
         elapsed = time.perf_counter() - t_replay0
         if (n_healthy >= 2 or len(cdc_trials) >= REPLAY_MAX_TRIALS
@@ -526,7 +531,6 @@ def run_queries() -> dict:
             break
         trial_probe = _subprocess_probe_until_healthy(
             min(60.0, max(0.0, REPLAY_BUDGET_S - elapsed)))
-    s = best_healthy or s
     timings["cdc_replay"] = round(s["wall_s"], 3)
     replay_walls = [t["wall_s"] for t in cdc_trials]
 
@@ -554,7 +558,7 @@ def run_queries() -> dict:
         "cdc_n_events": s["n_events"],
         "cdc_trial_walls": replay_walls,
         "cdc_trials": cdc_trials,
-        "cdc_replay_probe_healthy": bool(best_healthy is not None),
+        "cdc_replay_probe_healthy": any_healthy,
         "query_trial_walls": trials,
         "host_probe_pre": probe0,
         "host_probe_post": probe1,

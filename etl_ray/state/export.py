@@ -37,7 +37,7 @@ import ray
 
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
-from etl_ray.util import key_hash64, lww_keep_indices
+from etl_ray.util import key_hash64, lww_keep_indices, take_runs
 
 KEY_COLS = ["repo", "path"]
 
@@ -118,7 +118,7 @@ def _export_bucket(files: list[str], out_path: str, schema_b64: str,
             df = t.select(KEY_COLS).to_pandas()
             keep_m = ~df.iloc[order].duplicated().to_numpy()
             keep = np.sort(order[keep_m])
-        latest = t.take(pa.array(keep))
+        latest = take_runs(t, keep)
         live = latest.filter(pc.not_equal(latest["op"], "D"))
         table = live.drop_columns(["lsn", "op"])
     tmp = f"{out_path}.tmp.{os.getpid()}"

@@ -23,7 +23,8 @@ import ray.data
 from etl_ray.state import manifest as mf
 from etl_ray.state import schema as schema_mod
 from etl_ray.state.merge import KEY_COLS
-from etl_ray.util import add_pid_column, key_hash64, lww_keep_indices
+from etl_ray.util import (add_pid_column, key_hash64, lww_keep_indices,
+                          take_runs)
 
 
 def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
@@ -42,7 +43,7 @@ def _resolve_group(group: pa.Table, keep_deletes: bool = False) -> pa.Table:
         df = group.select(KEY_COLS).to_pandas()
         keep_m = ~df.iloc[order].duplicated().to_numpy()
         keep = np.sort(order[keep_m])
-    latest = group.take(pa.array(keep))
+    latest = take_runs(group, keep)  # keep is ascending — run gather
     if keep_deletes:
         return latest.drop_columns(["upid"])
     live = latest.filter(pc.not_equal(latest["op"], "D"))

@@ -172,7 +172,7 @@ class MergeApplier:
             # single take: dedup + deterministic lsn order for
             # idempotent retries
             fin = keep[np.argsort(lsn[keep], kind="stable")]
-            reduced = group.take(pa.array(fin))
+            reduced = take_runs(group, fin)
         else:
             lsn_min, lsn_max = -1, -1
             reduced = group
