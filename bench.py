@@ -52,7 +52,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CDC_KEYS, CDC_REPOS, CDC_EPOCHS, CDC_PARTITIONS = 2_200_000, 11_000, 4, 128
 CDC_UPDATE_P = 0.85  # update-heavy churn: ~7.8 events/key (CDC regime)
 # wal4: zstd-3 WAL files (same logical events as wal3 — smaller bytes,
-# 2× faster decode; see etl_ray/state/merge.py compression note)
+# 2× faster decode; see etl_ray/state/merge.py compression note).
+# A wal5 one-row-group-per-file layout was A/B'd in round 5 and
+# regressed (sources/wal.py row-group note); wal4 + read-side
+# batch_size coalescing is the measured best.
 WAL_DIR = f"/tmp/etl_ray_bench/wal4_k{CDC_KEYS}_e{CDC_EPOCHS}_p{CDC_UPDATE_P}"
 SCALING_PAIRS = ((8, 32), (4, 16))  # N→4N pairs (see module docstring)
 

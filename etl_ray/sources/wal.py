@@ -278,10 +278,18 @@ def generate_wal(corpus: "ray.data.Dataset", wal_dir: str, n_epochs: int,
             path = os.path.join(d, f"part-{digest}.parquet")
             if not os.path.exists(path):
                 tmp = f"{path}.tmp.{os.getpid()}"
-                # small row groups let the replay's override_num_blocks
-                # split files mid-file → even block sizes, no straggler
-                # tail in the read→prep→write wave. zstd level 3:
-                # ~20% smaller than the default level AND 2× faster to
+                # 16,384-row groups: small groups let the replay's
+                # override_num_blocks split files mid-file → even block
+                # sizes, no straggler tail. A one-row-group-per-file
+                # layout was A/B'd in round 5 and REGRESSED (same-window
+                # fault audit @32: 1.15-1.19 vs 0.77 faults/event, wall
+                # +20%): decoding a whole 65k-row group allocates
+                # huge-class buffers per column per file that the
+                # allocator never retains, while 16k groups decode into
+                # reusable small extents. Multi-chunk downstream cost is
+                # already neutralized by util.take_runs + the reader's
+                # batch_size coalescing below. zstd level 3: ~20%
+                # smaller than the default level AND 2× faster to
                 # decode on this content (state/merge.py note)
                 pq.write_table(part, tmp, compression="zstd",
                                compression_level=3,
@@ -336,8 +344,15 @@ def read_epochs(wal_dir: str, epochs: list[int],
     except Exception:  # noqa: BLE001 — uninitialised session
         cpus = 8
     n_blocks = max(8, int(cpus * blocks_per_cpu)) * len(epochs)
+    # batch_size rides through to fragment.to_batches: without it the
+    # reader slices each 16k row group into ~5k-row record batches,
+    # tripling the chunk count of every downstream block. With it each
+    # row group decodes as ONE batch (batch_size caps, row-group
+    # boundaries still bound), so blocks carry the minimum chunk count
+    # the file layout allows (see the writer's row-group note).
     return ray.data.read_parquet(paths, schema=sch,
                                  override_num_blocks=n_blocks,
+                                 batch_size=65_536,
                                  ray_remote_args=ray_remote_args or {})
 
 

@@ -156,7 +156,9 @@ def take_runs(t: pa.Table, indices: np.ndarray) -> pa.Table:
     idx = np.asarray(indices, dtype=np.int64)
     if len(idx) == 0:
         return t.schema.empty_table()
-    batches = t.to_batches()
+    # zero-length batches would alias a cumsum boundary and misroute
+    # searchsorted hits into an empty batch
+    batches = [b for b in t.to_batches() if len(b)]
     if len(batches) <= 1:
         return t.take(pa.array(idx))
     starts = np.zeros(len(batches) + 1, dtype=np.int64)

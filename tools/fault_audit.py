@@ -69,6 +69,9 @@ def main() -> None:
                     choices=("read", "prep", "full"),
                     help="read: decode only; prep: decode+prepare_events; "
                          "full: the real replay (default)")
+    ap.add_argument("--wal-dir", default=None,
+                    help="override bench.WAL_DIR (A/B older WAL layouts "
+                         "in the same host window)")
     args = ap.parse_args()
 
     if args.decay_ms is not None:
@@ -93,7 +96,7 @@ def main() -> None:
     ray.data.range(args.cpus * 4, override_num_blocks=args.cpus * 4) \
         .map_batches(_warm, batch_format="pyarrow").count()
 
-    wal = bench._ensure_wal(bench.WAL_DIR)
+    wal = bench._ensure_wal(args.wal_dir or bench.WAL_DIR)
     for root, _, names in os.walk(wal):
         for name in names:
             with open(os.path.join(root, name), "rb") as f:
