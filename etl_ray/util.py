@@ -18,23 +18,58 @@ import polars as pl
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Arrow-jemalloc page-retention tuning (ETL_RAY_JEMALLOC_DECAY_MS
-# overrides; "0" disables). Default ON at 10 s since round 5: freed
-# batch buffers stay mapped so the next batch reuses warm pages instead
-# of re-faulting fresh ones. Measured on the bench replay (tools/
-# fault_audit.py): 0.800 → 0.575 faults/event on top of the structural
-# gather/sha fixes — and concurrent fresh-page faults are the resource
-# this host's guest kernel collapses under (BASELINE.md round-4
-# parallel-fault axis), i.e. the multi-tenant-cluster analogue of
-# kernel-side memory contention. Reaches every Ray worker because they
-# inherit the driver env and import this module; retention is bounded
-# by each worker's PEAK heap (decay frees later, it never grows peak).
+# Arrow-pool page-retention tuning. Fresh-page faults are the resource
+# this host's guest kernel collapses under at full width (BASELINE.md
+# parallel-fault axis) — the multi-tenant-cluster analogue of
+# kernel-side memory contention — so the engine keeps batch buffers
+# MAPPED between batches instead of re-faulting them.
+#
+# Two layers, both bounded by each worker's PEAK heap (retention frees
+# later / never, it never grows peak):
+#
+# 1. ETL_RAY_JEMALLOC_DECAY_MS (default 10000, "0" disables): Arrow-
+#    jemalloc dirty-page decay. Covers ALLOCATIONS < the jemalloc
+#    oversize threshold only — measured (alloc micro + substep audit,
+#    round 5): huge-class buffers (the ~100 MB+ string columns a 64k-row
+#    gather produces) are purged IMMEDIATELY on free regardless of
+#    decay, re-faulting their full size every batch (take_runs alone:
+#    0.46 f/ev).
+# 2. ETL_RAY_ARROW_POOL=system-retain (default; "jemalloc" restores the
+#    old pool): switch the Arrow pool to glibc malloc and, via
+#    mallopt, disable heap trim (M_TRIM_THRESHOLD → max) and raise the
+#    mmap threshold to 1 GiB so huge column buffers are served from the
+#    retained heap instead of fresh mmaps. Measured: repeated 131 MB
+#    take() → 0 faults/iter (vs 131 MB/iter under jemalloc, mimalloc,
+#    or untuned glibc); full-replay fault volume drops accordingly
+#    (tools/fault_audit.py, BASELINE.md round 5). Applied at import so
+#    every Ray worker that loads the engine gets it.
 _decay_ms = os.environ.get("ETL_RAY_JEMALLOC_DECAY_MS", "10000")
 if _decay_ms and _decay_ms != "0":
     try:
         pa.jemalloc_set_decay_ms(int(_decay_ms))
     except (ValueError, NotImplementedError, OSError):
         pass
+
+_pool = os.environ.get("ETL_RAY_ARROW_POOL", "system-retain")
+if _pool == "system-retain":
+    try:
+        import ctypes
+        import ctypes.util
+
+        _libc = ctypes.CDLL(ctypes.util.find_library("c") or "libc.so.6",
+                            use_errno=True)
+        # glibc mallopt params: M_TRIM_THRESHOLD=-1, M_MMAP_THRESHOLD=-3,
+        # M_ARENA_MAX=-8
+        _libc.mallopt(-1, 2**31 - 1)   # never trim the heap top
+        _libc.mallopt(-3, 1 << 30)     # mmap only above 1 GiB
+        _arena_max = os.environ.get("ETL_RAY_MALLOC_ARENA_MAX")
+        if _arena_max and _arena_max.isdigit() and int(_arena_max) > 0:
+            # fewer arenas → Arrow's decode threads reuse each other's
+            # freed buffers instead of faulting fresh ones per arena
+            _libc.mallopt(-8, int(_arena_max))
+        pa.set_memory_pool(pa.system_memory_pool())
+    except (OSError, AttributeError, ValueError):
+        pass  # non-glibc platform: keep the default (jemalloc) pool
 
 # Version tag for the key-hash function (recorded in lake manifests:
 # partition routing is persisted, so a lake written under one hash

@@ -72,6 +72,10 @@ def main() -> None:
     ap.add_argument("--wal-dir", default=None,
                     help="override bench.WAL_DIR (A/B older WAL layouts "
                          "in the same host window)")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="replay N times in one session; pass 0 carries "
+                         "the workers' one-time heap first-touch, later "
+                         "passes are steady-state")
     args = ap.parse_args()
 
     if args.decay_ms is not None:
@@ -108,51 +112,63 @@ def main() -> None:
     os.sync()
     epochs = args.epochs or bench.CDC_EPOCHS
 
-    before = _ray_procs()
-    t0 = time.perf_counter()
-    if args.stage == "full":
-        s = replay(wal, lake, epochs, num_partitions=bench.CDC_PARTITIONS)
-    else:
-        # stage-attribution mode: same fused read (same blocks / task
-        # cpus), truncated after the requested stage
-        from etl_ray.pipelines.cdc import _task_cpus
-        from etl_ray.sources import wal as wal_mod
-        from etl_ray.state.merge import prepare_events
+    # --repeat N: replay N times in the SAME session, one report line
+    # each — pass 0 includes every worker's one-time heap first-touch
+    # (proportional to workers × peak heap, not to data volume); later
+    # passes show the steady-state faults/event a long-running ingest
+    # sustains.
+    for rep in range(max(1, args.repeat)):
+        if rep:
+            shutil.rmtree(lake, ignore_errors=True)
+            os.sync()
+        before = _ray_procs()
+        t0 = time.perf_counter()
+        if args.stage == "full":
+            s = replay(wal, lake, epochs,
+                       num_partitions=bench.CDC_PARTITIONS)
+        else:
+            # stage-attribution mode: same fused read (same blocks /
+            # task cpus), truncated after the requested stage
+            from etl_ray.pipelines.cdc import _task_cpus
+            from etl_ray.sources import wal as wal_mod
+            from etl_ray.state.merge import prepare_events
 
-        task_cpus = _task_cpus()
-        ds = wal_mod.read_epochs(wal, list(range(epochs)),
-                                 blocks_per_cpu=2.0,
-                                 ray_remote_args={"num_cpus": task_cpus})
-        if args.stage == "prep":
-            ds = ds.map_batches(prepare_events(bench.CDC_PARTITIONS),
-                                batch_format="pyarrow", num_cpus=task_cpus)
-        import pyarrow as pa
+            task_cpus = _task_cpus()
+            ds = wal_mod.read_epochs(
+                wal, list(range(epochs)), blocks_per_cpu=2.0,
+                ray_remote_args={"num_cpus": task_cpus})
+            if args.stage == "prep":
+                ds = ds.map_batches(prepare_events(bench.CDC_PARTITIONS),
+                                    batch_format="pyarrow",
+                                    num_cpus=task_cpus)
+            import pyarrow as pa
 
-        def _sink(b: pa.Table) -> pa.Table:
-            return pa.table({"n": pa.array([len(b)], pa.int64())})
+            def _sink(b: pa.Table) -> pa.Table:
+                return pa.table({"n": pa.array([len(b)], pa.int64())})
 
-        n = ds.map_batches(_sink, batch_format="pyarrow",
-                           num_cpus=task_cpus).sum("n")
-        s = {"n_events": int(n)}
-    wall = time.perf_counter() - t0
-    after = _ray_procs()
-    minf, majf = _fault_delta(before, after)
+            n = ds.map_batches(_sink, batch_format="pyarrow",
+                               num_cpus=task_cpus).sum("n")
+            s = {"n_events": int(n)}
+        wall = time.perf_counter() - t0
+        after = _ray_procs()
+        minf, majf = _fault_delta(before, after)
+
+        n_ev = s["n_events"]
+        print(json.dumps({
+            "label": args.label,
+            "pass": rep,
+            "num_cpus": args.cpus,
+            "decay_ms": args.decay_ms,
+            "retain": bool(args.retain),
+            "n_events": n_ev,
+            "wall_s": round(wall, 3),
+            "events_per_s": round(n_ev / wall, 1) if wall else 0,
+            "minflt": minf,
+            "majflt": majf,
+            "faults_per_event": round((minf + majf) / max(1, n_ev), 3),
+            "fault_gb": round((minf + majf) * 4096 / 1e9, 3),
+        }))
     shutil.rmtree(lake, ignore_errors=True)
-
-    n_ev = s["n_events"]
-    print(json.dumps({
-        "label": args.label,
-        "num_cpus": args.cpus,
-        "decay_ms": args.decay_ms,
-        "retain": bool(args.retain),
-        "n_events": n_ev,
-        "wall_s": round(wall, 3),
-        "events_per_s": round(n_ev / wall, 1) if wall else 0,
-        "minflt": minf,
-        "majflt": majf,
-        "faults_per_event": round((minf + majf) / max(1, n_ev), 3),
-        "fault_gb": round((minf + majf) * 4096 / 1e9, 3),
-    }))
     ray.shutdown()
 
 
